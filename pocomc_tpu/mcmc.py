@@ -1,0 +1,265 @@
+"""MCMC mutation kernels: t-preconditioned Crank-Nicolson and random-walk
+Metropolis, with and without normalizing-flow preconditioning.
+
+TPU-native re-design of reference /root/reference/pocomc/mcmc.py:7-654.
+The reference runs a host `while True` loop with per-walker Python `for k`
+loops for the InvGamma scale draws, proposals and Student-t quadratic forms
+(mcmc.py:79-85, 127-129) — O(n_active * d^2) host work per step. Here the
+entire adaptive sweep is ONE jitted program:
+
+  - proposals, quadratic forms and Metropolis corrections are batched
+    einsums/matmuls over the whole (n_active, d) population (MXU work),
+  - the adaptive-length loop (plateau termination + diminishing adaptation,
+    reference mcmc.py:152-180) is a `lax.while_loop` whose carry holds
+    (state, sigma, mu, counters, RNG key),
+  - the user likelihood is either traced straight into the program (JAX
+    likelihoods) or enters via `jax.pure_callback` with the finite-proposal
+    mask applied host-side so call-counting semantics match the reference
+    (mcmc.py:113-121),
+  - boundary re-wrapping (mcmc.py:94-97) is closed-form (see scaler.py).
+
+Each sweep returns the same result dictionary as the reference kernels
+(mcmc.py:182-183): u, x, logdetj, logl, logp, efficiency, accept, steps,
+calls, proposal_scale.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class SweepState(NamedTuple):
+    u: jnp.ndarray
+    x: jnp.ndarray
+    logdetj: jnp.ndarray
+    logl: jnp.ndarray
+    logp: jnp.ndarray
+    theta: jnp.ndarray          # flow-latent state (zeros when not preconditioned)
+    logdetj_flow: jnp.ndarray   # log|det du/dtheta| at current state
+    sigma: jnp.ndarray
+    mu: jnp.ndarray
+    i: jnp.ndarray              # step counter
+    cnt: jnp.ndarray            # plateau counter
+    logp2: jnp.ndarray          # best plateau metric so far
+    calls: jnp.ndarray          # likelihood call counter
+    accept: jnp.ndarray         # mean acceptance of last step
+    key: jnp.ndarray
+
+
+def make_loglike_device(fn, vectorize: bool, traceable: bool, dtype=jnp.float32):
+    """Wrap a user log-likelihood into `loglike(x, mask) -> logl` usable
+    inside jit. Non-finite-mask rows receive -inf without being evaluated
+    (callback path) or with sanitized inputs (traced path)."""
+    if traceable:
+        def loglike(x, mask):
+            logl = fn(x)
+            return jnp.where(mask, logl.astype(dtype), -jnp.inf)
+        return loglike
+
+    def host_eval(x, mask):
+        x = np.asarray(x)
+        mask = np.asarray(mask)
+        out = np.full(x.shape[0], -np.inf, dtype=np.float64)
+        idx = np.nonzero(mask)[0]
+        if len(idx) > 0:
+            if vectorize:
+                out[idx] = np.asarray(fn(x[idx]), dtype=np.float64).reshape(-1)
+            else:
+                out[idx] = np.array([float(np.asarray(fn(xi)).reshape(())) for xi in x[idx]])
+        return out.astype(np.float32 if dtype == jnp.float32 else np.float64)
+
+    def loglike(x, mask):
+        res_shape = jax.ShapeDtypeStruct((x.shape[0],), dtype)
+        return jax.pure_callback(host_eval, res_shape, x, mask)
+
+    return loglike
+
+
+def _student_quadform(diff, inv_cov):
+    """Batched Mahalanobis quadratic form diag(diff @ inv_cov @ diff.T)."""
+    return jnp.einsum("nd,de,ne->n", diff, inv_cov, diff)
+
+
+def make_sweep(
+    scaler,
+    log_prior: Callable,
+    log_like: Callable,          # loglike(x, mask) from make_loglike_device
+    n_dim: int,
+    n_steps: int,
+    n_max: int,
+    kind: str = "tpcn",          # "tpcn" | "rwm"
+    preconditioned: bool = False,
+    flow_fwd: Callable | None = None,   # (params, u) -> (theta, log|det du/dtheta|)
+    flow_inv: Callable | None = None,   # (params, theta) -> (u, log|det du/dtheta|)
+):
+    """Build a jitted adaptive MCMC sweep over the whole active population.
+
+    Returns sweep(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
+    flow_params=None) -> results dict. `geom` is the dict produced by
+    models.geometry.fit_geometry_jax.
+    """
+    if kind not in ("tpcn", "rwm"):
+        raise ValueError(f"Invalid kernel kind {kind!r}")
+    if preconditioned and (flow_fwd is None or flow_inv is None):
+        raise ValueError("preconditioned sweep needs flow_fwd/flow_inv")
+
+    sqrt_d_scale = 2.38 / math.sqrt(n_dim)
+    sigma_cap = min(sqrt_d_scale, 0.99)
+
+    def _to_x(v_prime, flow_params):
+        """Map proposal in sampling space back to (u', x', logdetj',
+        theta', logdetj_flow'), applying boundary conditions."""
+        if preconditioned:
+            theta_prime = v_prime
+            u_prime, ldjf_prime = flow_inv(flow_params, theta_prime)
+        else:
+            theta_prime = jnp.zeros_like(v_prime)
+            u_prime = v_prime
+            ldjf_prime = jnp.zeros(v_prime.shape[0], v_prime.dtype)
+        x_prime, ldj_prime = scaler.inverse(u_prime)
+        if scaler.has_boundary:
+            x_prime = scaler.apply_boundary_conditions_x(x_prime)
+            u_prime = scaler.forward(x_prime, check_input=False)
+            x_prime, ldj_prime = scaler.inverse(u_prime)
+        return u_prime, x_prime, ldj_prime, theta_prime, ldjf_prime
+
+    def body_factory(beta, geom, flow_params):
+        inv_cov = geom.get("t_inv_cov")
+        t_chol = geom.get("t_chol")
+        nu = geom.get("t_nu")
+        n_chol = geom.get("normal_chol")
+
+        def body(st: SweepState) -> SweepState:
+            key, k_gamma, k_norm, k_unif = jax.random.split(st.key, 4)
+            n = st.u.shape[0]
+            cur = st.theta if preconditioned else st.u
+            i1 = (st.i + 1).astype(st.sigma.dtype)
+
+            if kind == "tpcn":
+                diff = cur - st.mu
+                q = _student_quadform(diff, inv_cov)
+                g = jax.random.gamma(k_gamma, 0.5 * (n_dim + nu), (n,), dtype=cur.dtype)
+                s = (nu + q) / (2.0 * g)
+                z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
+                step = jnp.sqrt(s)[:, None] * (z @ t_chol.T)
+                v_prime = st.mu + jnp.sqrt(1.0 - st.sigma**2) * diff + st.sigma * step
+            else:
+                z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
+                v_prime = cur + st.sigma * (z @ n_chol.T)
+
+            u_p, x_p, ldj_p, theta_p, ldjf_p = _to_x(v_prime, flow_params)
+
+            finite = jnp.isfinite(ldj_p) & jnp.all(jnp.isfinite(x_p), axis=1)
+            x_safe = jnp.where(finite[:, None], x_p, st.x)
+            logp_p = jnp.where(finite, log_prior(x_safe), -jnp.inf)
+            finite = finite & jnp.isfinite(logp_p)
+            logl_p = log_like(x_safe, finite)
+            calls = st.calls + jnp.sum(finite)
+
+            log_ratio = (beta * (logl_p - st.logl)
+                         + (logp_p - st.logp)
+                         + (ldj_p - st.logdetj))
+            if preconditioned:
+                log_ratio = log_ratio + (ldjf_p - st.logdetj_flow)
+            if kind == "tpcn":
+                qp = _student_quadform(v_prime - st.mu, inv_cov)
+                half = 0.5 * (n_dim + nu)
+                A = -half * jnp.log1p(qp / nu)
+                B = -half * jnp.log1p(q / nu)
+                log_ratio = log_ratio - A + B
+
+            alpha = jnp.minimum(1.0, jnp.exp(log_ratio))
+            alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+            accept = jax.random.uniform(k_unif, (n,), dtype=alpha.dtype) < alpha
+
+            sel = lambda a, b: jnp.where(accept[:, None] if a.ndim == 2 else accept, a, b)
+            u = sel(u_p, st.u)
+            x = sel(x_p, st.x)
+            logdetj = sel(ldj_p, st.logdetj)
+            logl = sel(logl_p, st.logl)
+            logp = sel(logp_p, st.logp)
+            theta = sel(theta_p, st.theta)
+            ldjf = sel(ldjf_p, st.logdetj_flow)
+
+            alpha_mean = jnp.mean(alpha)
+            if kind == "tpcn":
+                # diminishing adaptation, capped (reference mcmc.py:152)
+                sigma = jnp.abs(jnp.minimum(
+                    st.sigma + (alpha_mean - 0.234) / i1**0.75, sigma_cap))
+                if preconditioned:
+                    mu = st.mu + (jnp.mean(theta, axis=0) - st.mu) / i1
+                else:
+                    mu = st.mu
+            else:
+                if preconditioned:
+                    sigma = st.sigma + (alpha_mean - 0.234) / i1
+                else:
+                    sigma = jnp.abs(st.sigma + (alpha_mean - 0.234) / i1)
+                mu = st.mu
+
+            # plateau metric: rwm variants include logdetj (mcmc.py:243,561)
+            if kind == "rwm":
+                metric = jnp.mean(logl + logp + logdetj)
+            else:
+                metric = jnp.mean(logl + logp)
+            improved = metric > st.logp2
+            cnt = jnp.where(improved, 0, st.cnt + 1)
+            logp2 = jnp.maximum(st.logp2, metric)
+
+            return SweepState(u, x, logdetj, logl, logp, theta, ldjf,
+                              sigma, mu, st.i + 1, cnt, logp2, calls,
+                              alpha_mean, key)
+
+        return body
+
+    def cond(st: SweepState) -> jnp.ndarray:
+        ratio = sqrt_d_scale / st.sigma
+        if kind == "rwm" and preconditioned:
+            ratio = jnp.minimum(1.0, ratio)
+        thresh = n_steps * ratio**2
+        keep = (st.cnt < thresh) & (st.i < n_max)
+        return (st.i == 0) | keep
+
+    @partial(jax.jit, static_argnames=())
+    def sweep(u, x, logdetj, logl, logp, beta, sigma0, geom, key, flow_params=None):
+        n = u.shape[0]
+        dtype = u.dtype
+        if preconditioned:
+            theta0, ldjf0 = flow_fwd(flow_params, u)
+        else:
+            theta0 = jnp.zeros_like(u)
+            ldjf0 = jnp.zeros(n, dtype)
+
+        if kind == "tpcn":
+            sigma0 = jnp.minimum(sigma0, 0.99)
+            mu0 = geom["t_mean"]
+        else:
+            mu0 = jnp.zeros(n_dim, dtype)
+
+        metric0 = jnp.mean(logl + logp)
+        if kind == "rwm":
+            metric0 = jnp.mean(logl + logp + logdetj)
+
+        init = SweepState(
+            u=u, x=x, logdetj=logdetj, logl=logl, logp=logp,
+            theta=theta0, logdetj_flow=ldjf0,
+            sigma=jnp.asarray(sigma0, dtype), mu=mu0.astype(dtype),
+            i=jnp.asarray(0, jnp.int32), cnt=jnp.asarray(0, jnp.int32),
+            logp2=metric0, calls=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+            accept=jnp.asarray(0.0, dtype), key=key,
+        )
+        body = body_factory(beta, geom, flow_params)
+        final = jax.lax.while_loop(cond, body, init)
+        return dict(u=final.u, x=final.x, logdetj=final.logdetj,
+                    logl=final.logl, logp=final.logp,
+                    efficiency=final.sigma, accept=final.accept,
+                    steps=final.i, calls=final.calls,
+                    proposal_scale=final.sigma)
+
+    return sweep

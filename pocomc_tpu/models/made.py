@@ -1,0 +1,82 @@
+"""MADE: masked autoregressive MLP (Germain et al. 2015), pure JAX.
+
+This replaces the libtorch/zuko MaskedMLP used by the reference flows
+(/root/reference/pocomc/flow.py:54-86 configures zuko MAF/NSF with
+hidden_features=[n_hidden]*3, residual=True, where n_hidden =
+max(next_pow2(3*n_dim), 32) — flow.py:49-52). Capacity here matches that.
+
+Design notes (TPU):
+  - masks are static constants baked into the jitted program; the masked
+    matmul is `x @ (w * mask)` which XLA fuses into a single MXU matmul
+    with an elementwise pre-multiply (a Pallas fused variant lives in
+    ops/pallas_kernels.py for large hidden sizes),
+  - residual connections on the equal-width hidden layers preserve the
+    autoregressive degree structure (identity keeps degrees),
+  - the final layer is zero-initialized so every flow starts at the
+    identity map, which stabilizes early SMC iterations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_degrees(n_dim: int, order: np.ndarray, hidden_sizes: list[int]):
+    """Degree vectors for input, hidden layers, and output.
+
+    `order[i]` is the autoregressive rank (0-based) of input dim i. Inputs
+    get degree rank+1; hidden units cycle through 1..max(1, d-1); outputs
+    reuse the input degrees (strict inequality applied at the output mask).
+    """
+    in_deg = np.asarray(order) + 1  # 1..d
+    degs = [in_deg]
+    max_deg = max(1, n_dim - 1)
+    for h in hidden_sizes:
+        degs.append((np.arange(h) % max_deg) + 1)
+    return degs
+
+
+def make_masks(degs, n_dim: int, n_params: int):
+    """Boolean connectivity masks per layer (hidden: >=, output: >)."""
+    masks = []
+    for l in range(1, len(degs)):
+        masks.append((degs[l][:, None] >= degs[l - 1][None, :]).astype(np.float32).T)
+    out_deg = np.repeat(degs[0], n_params)  # output block layout: (d, n_params)
+    masks.append((out_deg[:, None] > degs[-1][None, :]).astype(np.float32).T)
+    return masks
+
+
+def init_made(key, n_dim: int, hidden_sizes: list[int], n_params: int, order: np.ndarray):
+    """Initialize MADE parameters; returns (params_pytree, static_masks)."""
+    degs = make_degrees(n_dim, order, hidden_sizes)
+    masks = make_masks(degs, n_dim, n_params)
+    sizes = [n_dim] + list(hidden_sizes) + [n_dim * n_params]
+
+    params = []
+    keys = jax.random.split(key, len(masks))
+    for l, (m, k) in enumerate(zip(masks, keys)):
+        fan_in, fan_out = sizes[l], sizes[l + 1]
+        if l == len(masks) - 1:
+            w = jnp.zeros((fan_in, fan_out))  # identity start
+        else:
+            scale = np.sqrt(2.0 / fan_in)
+            w = scale * jax.random.normal(k, (fan_in, fan_out))
+        params.append({"w": w, "b": jnp.zeros(fan_out)})
+    return params, [jnp.asarray(m) for m in masks]
+
+
+def apply_made(params, masks, x, n_dim: int, n_params: int):
+    """Forward pass: (n, d) -> (n, d, n_params). Residual on equal-width
+    hidden layers, ReLU activations."""
+    h = x @ (params[0]["w"] * masks[0]) + params[0]["b"]
+    for l in range(1, len(params) - 1):
+        y = jax.nn.relu(h)
+        y = y @ (params[l]["w"] * masks[l]) + params[l]["b"]
+        if params[l]["w"].shape[0] == params[l]["w"].shape[1]:
+            h = h + y
+        else:
+            h = y
+    out = jax.nn.relu(h) @ (params[-1]["w"] * masks[-1]) + params[-1]["b"]
+    return out.reshape(x.shape[0], n_dim, n_params)

@@ -1,0 +1,157 @@
+"""Univariate monotone transforms for autoregressive flows.
+
+Two families, matching the reference's zuko configuration
+(/root/reference/pocomc/flow.py:54-86):
+  - monotonic affine (MAF): z = (x - loc) * exp(-log_scale), log_scale
+    soft-clipped for stability; 2 parameters per dimension,
+  - monotonic rational-quadratic spline (NSF, Durkan et al. 2019): 8 bins
+    on [-B, B] with identity tails; 3*bins - 1 parameters per dimension.
+
+All functions are elementwise over arbitrary leading batch/dim axes and
+both directions are analytic (the RQS inverse solves the bin-local
+quadratic), so they fuse into the surrounding jitted programs. Parameters
+are zero-init-friendly: raw params of 0 give the identity map in both
+families (see shifted softplus for the spline derivatives).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+LOG_SCALE_BOUND = 5.0
+SPLINE_BOUND = 5.0
+MIN_BIN = 1e-3
+MIN_DERIV = 1e-3
+# shift such that MIN_DERIV + softplus(0 + shift) == 1 exactly (identity init)
+_SOFTPLUS_INV_1 = math.log(math.exp(1.0 - MIN_DERIV) - 1.0)
+
+
+# ----------------------------------------------------------------------------
+# Affine
+# ----------------------------------------------------------------------------
+
+AFFINE_N_PARAMS = 2
+
+
+def affine_forward(x, params):
+    """x -> z (data -> latent). params: (..., 2) = [loc, raw_scale].
+    Returns (z, ladj) with ladj elementwise log|dz/dx|."""
+    loc = params[..., 0]
+    log_s = LOG_SCALE_BOUND * jnp.tanh(params[..., 1] / LOG_SCALE_BOUND)
+    z = (x - loc) * jnp.exp(-log_s)
+    return z, -log_s
+
+
+def affine_inverse(z, params):
+    """z -> x. Returns (x, ladj) with ladj elementwise log|dx/dz|."""
+    loc = params[..., 0]
+    log_s = LOG_SCALE_BOUND * jnp.tanh(params[..., 1] / LOG_SCALE_BOUND)
+    x = z * jnp.exp(log_s) + loc
+    return x, log_s
+
+
+# ----------------------------------------------------------------------------
+# Rational-quadratic spline
+# ----------------------------------------------------------------------------
+
+def rqs_n_params(bins: int) -> int:
+    return 3 * bins - 1
+
+
+def _rqs_setup(params, bins: int):
+    """Raw params (..., 3*bins-1) -> knot positions and derivatives."""
+    B = SPLINE_BOUND
+    w_raw = params[..., :bins]
+    h_raw = params[..., bins:2 * bins]
+    d_raw = params[..., 2 * bins:]
+
+    widths = MIN_BIN + (1 - MIN_BIN * bins) * jax.nn.softmax(w_raw, axis=-1)
+    heights = MIN_BIN + (1 - MIN_BIN * bins) * jax.nn.softmax(h_raw, axis=-1)
+    widths = widths * 2 * B
+    heights = heights * 2 * B
+
+    cw = jnp.cumsum(widths, axis=-1)
+    xk = jnp.concatenate([jnp.full_like(cw[..., :1], -B), cw - B], axis=-1)
+    xk = xk.at[..., -1].set(B)
+    ch = jnp.cumsum(heights, axis=-1)
+    yk = jnp.concatenate([jnp.full_like(ch[..., :1], -B), ch - B], axis=-1)
+    yk = yk.at[..., -1].set(B)
+
+    inner = MIN_DERIV + jax.nn.softplus(d_raw + _SOFTPLUS_INV_1)
+    ones = jnp.ones_like(inner[..., :1])
+    deriv = jnp.concatenate([ones, inner, ones], axis=-1)  # (..., bins+1)
+    return xk, yk, deriv
+
+
+def _gather_bin(arr, idx):
+    """arr: (..., K), idx: (...) -> arr[..., idx] elementwise."""
+    return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+
+
+def rqs_forward(x, params, bins: int):
+    """x -> y with ladj = log|dy/dx| elementwise; identity outside [-B, B]."""
+    B = SPLINE_BOUND
+    xk, yk, deriv = _rqs_setup(params, bins)
+    inside = (x > -B) & (x < B)
+    xc = jnp.clip(x, -B + 1e-6, B - 1e-6)
+
+    idx = jnp.clip(jnp.sum(xc[..., None] >= xk[..., 1:-1], axis=-1), 0, bins - 1)
+    x0 = _gather_bin(xk, idx)
+    x1 = _gather_bin(xk, idx + 1)
+    y0 = _gather_bin(yk, idx)
+    y1 = _gather_bin(yk, idx + 1)
+    d0 = _gather_bin(deriv, idx)
+    d1 = _gather_bin(deriv, idx + 1)
+
+    w = x1 - x0
+    h = y1 - y0
+    s = h / w
+    xi = (xc - x0) / w
+    xi1m = 1 - xi
+    denom = s + (d1 + d0 - 2 * s) * xi * xi1m
+    y = y0 + h * (s * xi * xi + d0 * xi * xi1m) / denom
+    dydx = s * s * (d1 * xi * xi + 2 * s * xi * xi1m + d0 * xi1m * xi1m) / (denom * denom)
+
+    y = jnp.where(inside, y, x)
+    ladj = jnp.where(inside, jnp.log(dydx), 0.0)
+    return y, ladj
+
+
+def rqs_inverse(y, params, bins: int):
+    """y -> x with ladj = log|dx/dy| elementwise; identity outside [-B, B]."""
+    B = SPLINE_BOUND
+    xk, yk, deriv = _rqs_setup(params, bins)
+    inside = (y > -B) & (y < B)
+    yc = jnp.clip(y, -B + 1e-6, B - 1e-6)
+
+    idx = jnp.clip(jnp.sum(yc[..., None] >= yk[..., 1:-1], axis=-1), 0, bins - 1)
+    x0 = _gather_bin(xk, idx)
+    x1 = _gather_bin(xk, idx + 1)
+    y0 = _gather_bin(yk, idx)
+    y1 = _gather_bin(yk, idx + 1)
+    d0 = _gather_bin(deriv, idx)
+    d1 = _gather_bin(deriv, idx + 1)
+
+    w = x1 - x0
+    h = y1 - y0
+    s = h / w
+    dy = yc - y0
+    t = d1 + d0 - 2 * s
+    a = h * (s - d0) + dy * t
+    b = h * d0 - dy * t
+    c = -s * dy
+    disc = jnp.maximum(b * b - 4 * a * c, 0.0)
+    xi = 2 * c / (-b - jnp.sqrt(disc))
+    xi = jnp.clip(xi, 0.0, 1.0)
+    x = x0 + xi * w
+
+    xi1m = 1 - xi
+    denom = s + t * xi * xi1m
+    dydx = s * s * (d1 * xi * xi + 2 * s * xi * xi1m + d0 * xi1m * xi1m) / (denom * denom)
+
+    x = jnp.where(inside, x, y)
+    ladj = jnp.where(inside, -jnp.log(dydx), 0.0)
+    return x, ladj

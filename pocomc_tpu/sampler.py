@@ -1,0 +1,723 @@
+"""Preconditioned Monte Carlo sampler (adaptive-temperature SMC), TPU-native.
+
+Orchestration mirrors the reference Sampler
+(/root/reference/pocomc/sampler.py:18-1061): warmup from the prior, then a
+persistent-sampling SMC loop of reweight (ESS-bisection temperature) ->
+train (flow preconditioner) -> resample -> mutate (t-pCN / RWM MCMC), with
+flow-importance-sampling evidence at the end. Same knob set and defaults.
+
+TPU-native architecture:
+  - the outer loop runs on host (O(tens) of iterations) over float64 numpy
+    bookkeeping (temperature bisection, multiple-IS evidence, trimming) —
+    these arrays are (T, n_active) tiny;
+  - ALL hot compute is jitted on device: the adaptive MCMC sweep is one
+    fused `lax.while_loop` program (see mcmc.py), flow training scans
+    batches on the MXU (models/flow.py), geometry fitting incl. Student-t
+    EM is one program (models/geometry.py);
+  - JAX-traceable likelihoods/priors compile straight into the sweep;
+    black-box Python ones enter via `jax.pure_callback` (the host fan-out
+    pool semantics of reference parallel.py are preserved there);
+  - weight trimming (reference sampler.py:792) zeroes weights instead of
+    physically shrinking arrays where static shapes matter, an equivalent
+    estimator.
+
+Deviation (documented): with blobs, the reference tracks blob values
+through every MCMC accept/reject (mcmc.py:113-149). Here the jitted sweep
+tracks log-likelihoods only and blobs are recomputed once per iteration at
+the final accepted positions — identical values for deterministic
+likelihoods at n_active extra calls per iteration.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from pathlib import Path
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mcmc import make_sweep, make_loglike_device
+from .models.flow import Flow
+from .models.geometry import Geometry, fit_geometry_jax
+from .particles import Particles
+from .scaler import Reparameterize
+from .ops.weights import (effective_sample_size, unique_sample_size,
+                          trim_weights, bisect_beta)
+from .ops.resampling import systematic_resample, multinomial_resample
+from .utils.tools import ProgressBar, FunctionWrapper
+
+
+def _is_traceable(fn, example_shape, expect_shape=None):
+    """True if fn traces under jax.eval_shape with the right output shape."""
+    try:
+        out = jax.eval_shape(fn, jax.ShapeDtypeStruct(example_shape, jnp.float32))
+        shape = jax.tree_util.tree_leaves(out)[0].shape
+        if expect_shape is not None and tuple(shape) != tuple(expect_shape):
+            return False
+        return True
+    except Exception:
+        return False
+
+
+def make_logprior_device(prior, n: int):
+    """Device-usable log-prior: traced if possible, else pure_callback."""
+    if getattr(prior, "traceable", False):
+        return prior.logpdf
+    if _is_traceable(prior.logpdf, (n, prior.dim), (n,)):
+        return prior.logpdf
+
+    def host(x):
+        return np.asarray(prior.logpdf(np.asarray(x)), dtype=np.float32).reshape(-1)
+
+    def device(x):
+        return jax.pure_callback(host, jax.ShapeDtypeStruct((x.shape[0],), jnp.float32), x)
+
+    return device
+
+
+class Sampler:
+    """Preconditioned Monte Carlo.
+
+    Same public surface as the reference Sampler (sampler.py:154-373):
+    __init__ knobs, run(), posterior(), evidence(), results, save_state(),
+    load_state().
+    """
+
+    def __init__(self,
+                 prior,
+                 likelihood,
+                 n_dim: int = None,
+                 n_effective: int = 512,
+                 n_active: int = 256,
+                 likelihood_args: list = None,
+                 likelihood_kwargs: dict = None,
+                 vectorize: bool = False,
+                 blobs_dtype=None,
+                 periodic: list = None,
+                 reflective: list = None,
+                 transform: str = "probit",
+                 pool=None,
+                 flow: str = "nsf6",
+                 train_config: dict = None,
+                 train_frequency: int = None,
+                 precondition: bool = True,
+                 dynamic: bool = True,
+                 metric: str = "ess",
+                 n_prior: int = None,
+                 sample: str = "tpcn",
+                 n_steps: int = None,
+                 n_max_steps: int = None,
+                 resample: str = "mult",
+                 output_dir: str = None,
+                 output_label: str = None,
+                 random_state: int = None,
+                 # accepted for reference API compatibility (no-ops here)
+                 pytorch_threads=None,
+                 n_ess: int = None,
+                 ):
+        if n_ess is not None:
+            import warnings
+            warnings.warn("n_ess is deprecated. Use n_effective instead.",
+                          DeprecationWarning, stacklevel=2)
+            n_effective = n_ess
+
+        self.random_state = random_state
+        seed = random_state if random_state is not None else int.from_bytes(os.urandom(4), "little")
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.key(seed)
+
+        # Prior (duck-typed protocol: logpdf / rvs / bounds / dim)
+        self.prior = prior
+        self.log_prior = prior.logpdf
+        self.sample_prior = prior.rvs
+        self.bounds = prior.bounds
+
+        self.log_likelihood = FunctionWrapper(likelihood, likelihood_args,
+                                              likelihood_kwargs)
+
+        self.blobs_dtype = blobs_dtype
+        self.have_blobs = blobs_dtype is not None
+
+        self.n_dim = int(prior.dim if n_dim is None else n_dim)
+
+        if n_active is None and n_effective is None:
+            raise ValueError("At least one of n_active or n_effective must be provided.")
+        self.n_active = int(n_effective // 2) if n_active is None else int(n_active)
+        self.n_effective = int(2 * self.n_active) if n_effective is None else int(n_effective)
+        self.n_steps = int(self.n_dim // 2) if n_steps is None else int(n_steps)
+        self.n_max_steps = 10 * self.n_steps if n_max_steps is None else int(n_max_steps)
+
+        self.n_total = None
+        self.n_evidence = None
+
+        self.particles = Particles(self.n_active, self.n_dim)
+        self.t = 0
+
+        # Pool for black-box likelihood fan-out
+        self.pool = pool
+        if pool is None:
+            self.distribute = map
+        elif isinstance(pool, int) and pool > 1:
+            from multiprocessing import Pool as _MpPool
+            self.pool = _MpPool(pool)
+            self.distribute = self.pool.map
+        else:
+            self.distribute = pool.map
+
+        self.vectorize = vectorize
+        if self.vectorize and self.have_blobs:
+            raise ValueError("Cannot vectorize likelihood with blobs.")
+
+        self.u_geometry = Geometry()
+        self.theta_geometry = Geometry()
+
+        # Flow + training schedule
+        self.flow = Flow(self.n_dim, flow) if isinstance(flow, str) else flow
+        self.train_config = dict(validation_split=0.5,
+                                 epochs=5000,
+                                 batch_size=int(min(self.n_effective // 2, 512)),
+                                 patience=int(self.n_dim),
+                                 learning_rate=1e-3,
+                                 annealing=False,
+                                 gaussian_scale=None,
+                                 laplace_scale=None,
+                                 noise=None,
+                                 shuffle=True,
+                                 clip_grad_norm=1.0,
+                                 verbose=0)
+        if train_config is not None:
+            self.train_config.update(train_config)
+        if train_frequency is None:
+            self.train_frequency = max(self.n_effective // (self.n_active * 2), 1)
+        else:
+            self.train_frequency = int(train_frequency)
+        self.flow_untrained = True
+
+        if transform not in ("probit", "logit"):
+            raise ValueError(f"Invalid transform {transform}. Options are 'probit' or 'logit'.")
+        self.scaler = Reparameterize(self.n_dim, bounds=self.bounds,
+                                     periodic=periodic, reflective=reflective,
+                                     transform=transform)
+
+        self.output_dir = Path("states") if output_dir is None else Path(output_dir)
+        self.output_label = "pmc" if output_label is None else output_label
+
+        self.preconditioned = bool(precondition)
+
+        if metric not in ("ess", "uss"):
+            raise ValueError(f"Invalid metric {metric}. Options are 'ess' or 'uss'.")
+        self.metric = metric
+
+        self.dynamic = bool(dynamic)
+        self.dynamic_ratio = unique_sample_size(
+            np.ones(self.n_effective), k=self.n_active) / self.n_active
+
+        if sample not in ("tpcn", "rwm"):
+            raise ValueError(f"Invalid sample {sample}. Options are 'tpcn' or 'rwm'.")
+        self.sample = sample
+
+        self.proposal_scale = 2.38 / math.sqrt(self.n_dim)
+
+        if resample not in ("mult", "syst"):
+            raise ValueError(f"Invalid resample {resample}. Options are 'mult' or 'syst'.")
+        self.resample = resample
+
+        if n_prior is None:
+            self.n_prior = int(2 * max(self.n_effective // self.n_active, 1) * self.n_active)
+        else:
+            self.n_prior = int(max(n_prior / self.n_active, 1) * self.n_active)
+        self.prior_samples = None
+
+        self.logz = None
+        self.logz_err = None
+        self.current_particles = None
+        self.warmup = True
+        self.calls = 0
+        self.progress = None
+        self.pbar = None
+
+        self._build_device_fns()
+
+    # ------------------------------------------------------------------
+    # device program construction
+    # ------------------------------------------------------------------
+
+    def _build_device_fns(self):
+        n = self.n_active
+        like_traceable = False
+        if self.pool is None and not self.have_blobs:
+            if self.vectorize:
+                like_traceable = _is_traceable(self.log_likelihood, (n, self.n_dim), (n,))
+                self._like_batch_fn = self.log_likelihood
+            else:
+                if _is_traceable(self.log_likelihood, (self.n_dim,), ()):
+                    self._like_batch_fn = jax.vmap(self.log_likelihood)
+                    like_traceable = True
+                else:
+                    self._like_batch_fn = None
+        else:
+            self._like_batch_fn = None
+        self.likelihood_traceable = like_traceable
+
+        if like_traceable:
+            loglike_dev = make_loglike_device(self._like_batch_fn, True, True)
+            self._loglike_host_jit = jax.jit(self._like_batch_fn)
+        else:
+            loglike_dev = make_loglike_device(self._host_like_raw, True, False)
+            self._loglike_host_jit = None
+
+        logprior_dev = make_logprior_device(self.prior, n)
+        self._logprior_dev = logprior_dev
+
+        common = dict(scaler=self.scaler, log_prior=logprior_dev,
+                      log_like=loglike_dev, n_dim=self.n_dim,
+                      n_steps=self.n_steps, n_max=self.n_max_steps)
+        self._sweep_plain = make_sweep(kind=self.sample, preconditioned=False, **common)
+        self._sweep_precond = make_sweep(kind=self.sample, preconditioned=True,
+                                         flow_fwd=self.flow.kernel_fwd,
+                                         flow_inv=self.flow.kernel_inv, **common)
+        self._scaler_forward = jax.jit(lambda x: self.scaler.forward(x))
+        self._scaler_inverse = jax.jit(lambda u: self.scaler.inverse(u))
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------------
+    # likelihood evaluation (host-facing)
+    # ------------------------------------------------------------------
+
+    def _host_like_raw(self, x):
+        """Vectorized host evaluation returning logl only (used in the
+        pure_callback path of the device sweep)."""
+        logl, _ = self._log_like(np.asarray(x))
+        return np.asarray(logl, dtype=np.float64)
+
+    def _log_like(self, x):
+        """Full host evaluation with blob extraction (reference
+        sampler.py:807-861)."""
+        x = np.asarray(x)
+        if self.likelihood_traceable:
+            logl = np.asarray(jax.device_get(self._loglike_host_jit(jnp.asarray(x))),
+                              dtype=np.float64)
+            return logl, None
+        if self.vectorize:
+            return np.asarray(self.log_likelihood(x), dtype=np.float64), None
+        if self.pool is not None:
+            results = list(self.distribute(self.log_likelihood, x))
+        else:
+            results = list(map(self.log_likelihood, x))
+
+        try:
+            blob = [l[1:] for l in results if hasattr(l, "__len__") and len(l) > 1]
+            if not len(blob):
+                raise IndexError
+            logl = np.array([float(l[0]) for l in results])
+            self.have_blobs = True
+        except (IndexError, TypeError):
+            logl = np.array([float(np.asarray(l).reshape(())) for l in results])
+            blob = None
+        else:
+            if self.blobs_dtype is not None:
+                dt = self.blobs_dtype
+            else:
+                try:
+                    dt = np.atleast_1d(blob[0]).dtype
+                except ValueError:
+                    dt = np.dtype("object")
+                if getattr(dt, "kind", "") in "US":
+                    dt = np.dtype("object")
+            blob = np.array(blob, dtype=dt)
+            shape = blob.shape[1:]
+            if len(shape):
+                axes = np.arange(len(shape))[np.array(shape) == 1] + 1
+                if len(axes):
+                    blob = np.squeeze(blob, tuple(axes))
+        return logl, blob
+
+    # ------------------------------------------------------------------
+    # run
+    # ------------------------------------------------------------------
+
+    def run(self, n_total: int = 4096, n_evidence: int = 4096,
+            progress: bool = True, resume_state_path=None, save_every=None):
+        """Run Preconditioned Monte Carlo (reference sampler.py:375-524)."""
+        if resume_state_path is not None:
+            self.load_state(resume_state_path)
+            t0 = self.t
+            self.pbar = ProgressBar(self.progress if self.progress is not None else progress,
+                                    initial=t0)
+            if self.particles.t > 0:
+                self.pbar.update_stats(dict(
+                    beta=self.particles.get("beta", -1),
+                    calls=self.particles.get("calls", -1),
+                    ESS=self.particles.get("ess", -1),
+                    logZ=self.particles.get("logz", -1)))
+        else:
+            t0 = self.t
+            self.progress = progress
+            self.pbar = ProgressBar(progress)
+            self.pbar.update_stats(dict(beta=0.0, calls=self.calls,
+                                        ESS=self.n_effective, logZ=0.0,
+                                        logP=0.0, acc=0.0, steps=0, eff=0.0))
+
+        self.n_total = int(n_total)
+        self.n_evidence = int(n_evidence)
+
+        if self.prior_samples is None:
+            self.prior_samples = np.asarray(
+                self.sample_prior(self.n_prior), dtype=np.float64)
+            self.scaler.fit(self.prior_samples)
+
+        if self.warmup:
+            self._run_warmup(t0, save_every)
+            self.warmup = False
+
+        while self._not_termination(self.current_particles):
+            if save_every is not None and (self.t - t0) % int(save_every) == 0 and self.t != t0:
+                self.save_state(self.output_dir / f"{self.output_label}_{self.t}.state")
+
+            self.current_particles = self._reweight(self.current_particles)
+            self.current_particles = self._train(self.current_particles)
+            self.current_particles = self._resample(self.current_particles)
+            self.current_particles = self._mutate(self.current_particles)
+            self.particles.update(self.current_particles)
+
+        if self.n_evidence > 0 and self.preconditioned:
+            self._compute_evidence(self.n_evidence)
+        else:
+            _, self.logz = self.particles.compute_logw_and_logz(1.0)
+            self.logz_err = None
+
+        if save_every is not None:
+            self.save_state(self.output_dir / f"{self.output_label}_final.state")
+        self.pbar.close()
+
+    def _run_warmup(self, t0, save_every):
+        for i in range(self.n_prior // self.n_active):
+            if save_every is not None and (self.t - t0) % int(save_every) == 0 and self.t != t0:
+                self.save_state(self.output_dir / f"{self.output_label}_{self.t}.state")
+            x = self.prior_samples[i * self.n_active:(i + 1) * self.n_active]
+            u = np.asarray(jax.device_get(self._scaler_forward(jnp.asarray(x, dtype=jnp.float32))),
+                           dtype=np.float64)
+            _, logdetj_d = self._scaler_inverse(jnp.asarray(u, dtype=jnp.float32))
+            logdetj = np.asarray(jax.device_get(logdetj_d), dtype=np.float64)
+            logp = np.asarray(jax.device_get(jnp.asarray(self.log_prior(x))), dtype=np.float64)
+            logl, blobs = self._log_like(x)
+            self.calls += self.n_active
+
+            # replace infinite-likelihood particles by finite ones
+            inf_mask = np.isinf(logl)
+            if np.any(inf_mask):
+                all_idx = np.arange(len(x))
+                finite_idx = all_idx[~inf_mask]
+                if len(finite_idx) == 0:
+                    raise RuntimeError("All prior-stage likelihoods are non-finite.")
+                repl = self._rng.choice(finite_idx, size=int(inf_mask.sum()), replace=True)
+                x = x.copy(); u = u.copy()
+                x[inf_mask] = x[repl]
+                u[inf_mask] = u[repl]
+                logdetj[inf_mask] = logdetj[repl]
+                logp[inf_mask] = logp[repl]
+                logl[inf_mask] = logl[repl]
+                if self.have_blobs and blobs is not None:
+                    blobs[inf_mask] = blobs[repl]
+
+            self.current_particles = dict(
+                u=u, x=x, logl=logl, logp=logp, logdetj=logdetj,
+                logw=-1e300 * np.ones(self.n_active), blobs=blobs,
+                iter=self.t, calls=self.calls, steps=1, efficiency=1.0,
+                ess=self.n_effective, accept=1.0, beta=0.0, logz=0.0)
+            self.particles.update(self.current_particles)
+            self.pbar.update_stats(dict(calls=self.calls, beta=0.0,
+                                        ESS=int(self.n_effective), logZ=0.0,
+                                        logP=float(np.mean(logp + logl))))
+            self.pbar.update_iter()
+            self.t += 1
+
+    # ------------------------------------------------------------------
+    # SMC phases
+    # ------------------------------------------------------------------
+
+    def _not_termination(self, current_particles):
+        logw, _ = self.particles.compute_logw_and_logz(1.0)
+        w = np.exp(logw - np.max(logw))
+        ess = (effective_sample_size(w) if self.metric == "ess"
+               else unique_sample_size(w))
+        return 1.0 - current_particles.get("beta") >= 1e-4 or ess < self.n_total
+
+    def _reweight(self, current_particles):
+        self.t += 1
+        self.pbar.update_iter()
+
+        logl_hist = self.particles.get("logl")
+        beta_hist = self.particles.get("beta")
+        logz_hist = self.particles.get("logz")
+        beta_prev = self.particles.get("beta", index=-1)
+
+        beta, logw, ess_est, logz = bisect_beta(
+            logl_hist, beta_hist, logz_hist, beta_prev,
+            self.n_effective, metric=self.metric)
+        if beta == beta_prev:
+            logz = self.particles.get("logz", index=-1)
+        self.pbar.update_stats(dict(beta=beta, ESS=int(ess_est), logZ=logz))
+
+        weights = np.exp(logw - np.max(logw))
+        weights /= weights.sum()
+
+        if self.dynamic:
+            n_unique_active = unique_sample_size(weights, k=self.n_active)
+            if n_unique_active < self.n_active * (0.95 * self.dynamic_ratio):
+                self.n_effective = int(self.n_active / n_unique_active * self.n_effective)
+            elif n_unique_active > self.n_active * min(1.05 * self.dynamic_ratio, 1.0):
+                self.n_effective = int(n_unique_active / self.n_active * self.n_effective)
+
+        mask, weights_t = trim_weights(weights, ess=0.99, bins=1000)
+        idx = np.nonzero(mask)[0]
+        current_particles["u"] = self.particles.get("u", flat=True)[idx]
+        current_particles["x"] = self.particles.get("x", flat=True)[idx]
+        current_particles["logdetj"] = self.particles.get("logdetj", flat=True)[idx]
+        current_particles["logl"] = self.particles.get("logl", flat=True)[idx]
+        current_particles["logp"] = self.particles.get("logp", flat=True)[idx]
+        if self.have_blobs:
+            current_particles["blobs"] = self.particles.get("blobs", flat=True)[idx]
+        current_particles["logz"] = logz
+        current_particles["beta"] = beta
+        current_particles["weights"] = weights_t
+        current_particles["ess"] = ess_est
+        return current_particles
+
+    def _train(self, current_particles):
+        u = current_particles["u"]
+        w = current_particles["weights"]
+        if self.preconditioned and (self.t % self.train_frequency == 0
+                                    or current_particles["beta"] == 1.0
+                                    or self.flow_untrained):
+            self.flow_untrained = False
+            cfg = self.train_config
+            self.flow.fit(jnp.asarray(u, dtype=jnp.float32),
+                          weights=jnp.asarray(w, dtype=jnp.float32),
+                          validation_split=cfg["validation_split"],
+                          epochs=cfg["epochs"],
+                          batch_size=int(min(len(u) // 2, cfg["batch_size"])),
+                          gaussian_scale=cfg["gaussian_scale"],
+                          laplace_scale=cfg["laplace_scale"],
+                          patience=cfg["patience"],
+                          learning_rate=cfg["learning_rate"],
+                          annealing=cfg["annealing"],
+                          noise=cfg["noise"],
+                          shuffle=cfg["shuffle"],
+                          clip_grad_norm=cfg["clip_grad_norm"],
+                          verbose=cfg["verbose"],
+                          seed=int(self._rng.integers(2**31 - 1)))
+            theta, _ = self.flow.forward(jnp.asarray(u, dtype=jnp.float32))
+            self.theta_geometry.fit(theta, weights=jnp.asarray(w, dtype=jnp.float32),
+                                    key=self._next_key())
+        else:
+            self.u_geometry.fit(jnp.asarray(u, dtype=jnp.float32),
+                                weights=jnp.asarray(w, dtype=jnp.float32),
+                                key=self._next_key())
+        return current_particles
+
+    def _resample(self, current_particles):
+        w = current_particles["weights"]
+        if self.resample == "mult":
+            idx = multinomial_resample(self.n_active, w, self._rng)
+        else:
+            idx = systematic_resample(self.n_active, w, self._rng)
+        for key in ("u", "x", "logdetj", "logl", "logp"):
+            current_particles[key] = current_particles[key][idx]
+        if self.have_blobs:
+            current_particles["blobs"] = current_particles["blobs"][idx]
+        return current_particles
+
+    def _mutate(self, current_particles):
+        geom_src = self.theta_geometry if self.preconditioned else self.u_geometry
+        geom = dict(t_mean=geom_src.t_mean, t_chol=geom_src.t_chol,
+                    t_inv_cov=geom_src.t_inv_cov, t_nu=geom_src.t_nu,
+                    normal_chol=geom_src.normal_chol)
+
+        f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+        args = (f32(current_particles["u"]), f32(current_particles["x"]),
+                f32(current_particles["logdetj"]), f32(current_particles["logl"]),
+                f32(current_particles["logp"]),
+                jnp.float32(current_particles["beta"]),
+                jnp.float32(self.proposal_scale), geom, self._next_key())
+        if self.preconditioned:
+            results = self._sweep_precond(*args, flow_params=self.flow.params)
+        else:
+            results = self._sweep_plain(*args)
+        results = jax.device_get(results)
+
+        for key in ("u", "x", "logdetj", "logl", "logp"):
+            current_particles[key] = np.asarray(results[key], dtype=np.float64)
+        current_particles["efficiency"] = float(results["efficiency"]) / (2.38 / math.sqrt(self.n_dim))
+        current_particles["steps"] = int(results["steps"])
+        current_particles["accept"] = float(results["accept"])
+        current_particles["calls"] = self.calls + int(results["calls"])
+        current_particles["iter"] = self.t
+        self.calls = current_particles["calls"]
+        self.proposal_scale = float(results["proposal_scale"])
+
+        if self.have_blobs:
+            # recompute blobs at accepted positions (see module docstring)
+            _, blobs = self._log_like(current_particles["x"])
+            current_particles["blobs"] = blobs
+            self.calls += self.n_active
+            current_particles["calls"] = self.calls
+
+        self.pbar.update_stats(dict(
+            calls=self.calls, acc=current_particles["accept"],
+            steps=current_particles["steps"],
+            logP=float(np.mean(current_particles["logl"] + current_particles["logp"])),
+            eff=current_particles["efficiency"]))
+        return current_particles
+
+    # ------------------------------------------------------------------
+    # results
+    # ------------------------------------------------------------------
+
+    def evidence(self):
+        """(logz, logz_err)."""
+        return self.logz, self.logz_err
+
+    def _compute_evidence(self, n=5_000):
+        """Flow importance-sampling evidence + bootstrap error
+        (reference sampler.py:869-920)."""
+        u_q, logq = self.flow.sample(n, key=self._next_key())
+        x_q, logdetj = self._scaler_inverse(u_q)
+        x_q = np.asarray(jax.device_get(x_q), dtype=np.float64)
+        logdetj = np.asarray(jax.device_get(logdetj), dtype=np.float64)
+        logq = np.asarray(jax.device_get(logq), dtype=np.float64)
+
+        logp = np.asarray(jax.device_get(jnp.asarray(self.log_prior(x_q))), dtype=np.float64)
+        finite = np.isfinite(logp)
+        x_q, logdetj, logq, logp = x_q[finite], logdetj[finite], logq[finite], logp[finite]
+
+        logl, _ = self._log_like(x_q)
+        logw = logl + logp + logdetj - logq
+        m = logw.max()
+        n_w = len(logw)
+        logz = m + np.log(np.sum(np.exp(logw - m))) - np.log(n_w)
+
+        n_boot = max(n, 1000)
+        idx = self._rng.integers(0, n_w, size=(n_boot, n_w))
+        bs = logw[idx]
+        mb = bs.max(axis=1, keepdims=True)
+        logz_boot = mb[:, 0] + np.log(np.sum(np.exp(bs - mb), axis=1)) - np.log(n_w)
+        dlogz = float(np.std(logz_boot))
+
+        self.calls += n_w
+        self.pbar.update_stats(dict(calls=self.calls))
+        self.logz = float(logz)
+        self.logz_err = dlogz
+        return self.logz, self.logz_err
+
+    def posterior(self, resample=False, return_blobs=False,
+                  trim_importance_weights=True, return_logw=False,
+                  ess_trim=0.99, bins_trim=1_000):
+        """Posterior samples from the full history reweighted to beta=1
+        (reference sampler.py:941-1009)."""
+        if return_blobs and not self.have_blobs:
+            raise ValueError("No blobs available.")
+        samples = self.particles.get("x", flat=True)
+        logl = self.particles.get("logl", flat=True)
+        logp = self.particles.get("logp", flat=True)
+        if return_blobs:
+            blobs = self.particles.get("blobs", flat=True)
+        logw, _ = self.particles.compute_logw_and_logz(1.0)
+        weights = np.exp(logw)
+
+        if trim_importance_weights:
+            mask, weights = trim_weights(weights, ess=ess_trim, bins=bins_trim)
+            idx = np.nonzero(mask)[0]
+            samples, logl, logp, logw = samples[idx], logl[idx], logp[idx], logw[idx]
+            if return_blobs:
+                blobs = blobs[idx]
+
+        if resample:
+            if self.resample == "mult":
+                idx_r = multinomial_resample(len(samples), weights, self._rng)
+            else:
+                idx_r = systematic_resample(len(samples), weights, self._rng)
+            out = (samples[idx_r], logl[idx_r], logp[idx_r])
+            return out + ((blobs[idx_r],) if return_blobs else ())
+
+        w_or_logw = logw if return_logw else weights
+        out = (samples, w_or_logw, logl, logp)
+        return out + ((blobs,) if return_blobs else ())
+
+    @property
+    def results(self):
+        return self.particles.compute_results()
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+
+    _STATE_SCALARS = ("t", "calls", "n_effective", "n_active", "n_total",
+                      "n_evidence", "proposal_scale", "warmup", "logz",
+                      "logz_err", "flow_untrained", "dynamic_ratio",
+                      "progress", "preconditioned", "metric", "sample",
+                      "resample", "dynamic", "train_frequency", "have_blobs")
+
+    def state_dict(self):
+        """Picklable snapshot: history, flow params, scaler/geometry
+        moments, counters and RNG state (reference dill-pickles the whole
+        __dict__ at sampler.py:1023-1049; here the snapshot is an explicit
+        pytree-of-numpy for portability)."""
+        to_np = lambda tree: jax.tree_util.tree_map(lambda a: np.asarray(a), tree)
+        state = {k: getattr(self, k) for k in self._STATE_SCALARS}
+        state["particles_past"] = self.particles.past
+        state["flow_params"] = to_np(self.flow.params)
+        state["prior_samples"] = self.prior_samples
+        state["current_particles"] = self.current_particles
+        state["rng_state"] = self._rng.bit_generator.state
+        state["jax_key"] = np.asarray(jax.random.key_data(self._key))
+        state["scaler"] = dict(mu=np.asarray(self.scaler.mu),
+                               sigma=np.asarray(self.scaler.sigma),
+                               fitted=self.scaler._fitted)
+        for name in ("u_geometry", "theta_geometry"):
+            g = getattr(self, name)
+            state[name] = None if g.t_mean is None else to_np(vars(g))
+        return state
+
+    def load_state_dict(self, state):
+        for k in self._STATE_SCALARS:
+            setattr(self, k, state[k])
+        self.particles.past = state["particles_past"]
+        self.particles.results_dict = None
+        self.flow.params = jax.tree_util.tree_map(jnp.asarray, state["flow_params"])
+        self.prior_samples = state["prior_samples"]
+        self.current_particles = state["current_particles"]
+        self._rng.bit_generator.state = state["rng_state"]
+        self._key = jax.random.wrap_key_data(jnp.asarray(state["jax_key"]))
+        self.scaler.mu = jnp.asarray(state["scaler"]["mu"])
+        self.scaler.sigma = jnp.asarray(state["scaler"]["sigma"])
+        self.scaler._fitted = state["scaler"]["fitted"]
+        for name in ("u_geometry", "theta_geometry"):
+            if state[name] is not None:
+                g = getattr(self, name)
+                for k, v in state[name].items():
+                    setattr(g, k, None if v is None else jnp.asarray(v))
+
+    def save_state(self, path):
+        """Atomic checkpoint write (temp + flush + fsync + rename, as the
+        reference does for NFS safety at sampler.py:1031-1049)."""
+        path = Path(path)
+        print(f"Saving PMC state to {path}")
+        path.parent.mkdir(parents=True, exist_ok=True)
+        temp_path = path.with_suffix(".temp")
+        with open(temp_path, "wb") as f:
+            pickle.dump(self.state_dict(), f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(temp_path, path)
+
+    def load_state(self, path):
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.load_state_dict(state)

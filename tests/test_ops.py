@@ -1,0 +1,156 @@
+"""Unit tests for weight numerics and resampling (ops layer).
+
+Mirrors/extends the reference's invariants (tests/test_tools.py) and adds
+statistical checks the reference lacks (SURVEY.md section 4).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pocomc_tpu.ops.weights import (effective_sample_size, unique_sample_size,
+                                    compute_ess, trim_weights,
+                                    compute_logw_and_logz, bisect_beta,
+                                    compute_logw_and_logz_jax, ess_jax)
+from pocomc_tpu.ops.resampling import (systematic_resample, multinomial_resample,
+                                       systematic_resample_jax,
+                                       multinomial_resample_jax)
+
+
+class TestESS:
+    def test_degenerate_single_particle(self):
+        assert compute_ess(np.array([0.5])) == 1.0
+        assert compute_ess(np.array([-1000.0])) == 1.0
+
+    def test_uniform_weights(self):
+        w = np.ones(100)
+        assert effective_sample_size(w) == pytest.approx(100.0)
+
+    def test_concentrated(self):
+        w = np.zeros(100)
+        w[0] = 1.0
+        assert effective_sample_size(w) == pytest.approx(1.0)
+
+    def test_uss_uniform(self):
+        w = np.ones(100)
+        # expected unique of 100 draws from uniform over 100
+        expect = 100 * (1 - (1 - 0.01) ** 100)
+        assert unique_sample_size(w) == pytest.approx(expect)
+
+    def test_jax_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        w = rng.random(256)
+        np.testing.assert_allclose(float(ess_jax(jnp.asarray(w))),
+                                   effective_sample_size(w), rtol=1e-5)
+
+
+class TestTrim:
+    def test_keeps_ess_fraction(self):
+        rng = np.random.default_rng(1)
+        w = rng.pareto(1.0, size=2000) + 1e-12
+        mask, wt = trim_weights(w, ess=0.99)
+        total = effective_sample_size(w)
+        trimmed = effective_sample_size(wt)
+        assert trimmed / total >= 0.99
+        assert mask.sum() == len(wt)
+        assert wt.sum() == pytest.approx(1.0)
+
+    def test_uniform_keeps_everything(self):
+        w = np.ones(100)
+        mask, wt = trim_weights(w)
+        assert mask.all()
+
+
+class TestLogwLogz:
+    def test_single_iteration_beta0(self):
+        # One warmup iteration at beta=0: weights to beta=1 are the raw
+        # tempered likelihood ratios; logz = logsumexp(logl) - log(n).
+        logl = np.array([[-1.0, -2.0, -3.0, -4.0]])
+        beta = np.array([0.0])
+        logz = np.array([0.0])
+        logw, lz = compute_logw_and_logz(logl, beta, logz, 1.0)
+        expect = np.log(np.mean(np.exp(logl[0])))
+        assert lz == pytest.approx(expect)
+        # normalized
+        assert np.exp(logw).sum() == pytest.approx(1.0)
+
+    def test_beta_equal_component_gives_uniform(self):
+        # Single stored iteration, reweighting to its own temperature:
+        # logw constant -> uniform.
+        logl = np.array([[-1.0, -2.0, -3.0]])
+        beta = np.array([0.7])
+        logz = np.array([0.0])
+        logw, _ = compute_logw_and_logz(logl, beta, logz, 0.7)
+        np.testing.assert_allclose(logw, logw[0] * np.ones(3), rtol=1e-10)
+
+    def test_jax_matches_numpy(self):
+        rng = np.random.default_rng(2)
+        T, n = 5, 64
+        logl = rng.normal(-10, 3, size=(T, n))
+        beta = np.sort(rng.random(T))
+        logz = np.cumsum(-rng.random(T))
+        logw_np, lz_np = compute_logw_and_logz(logl, beta, logz, 0.9)
+        valid = jnp.ones(T, dtype=bool)
+        logw_j, lz_j = compute_logw_and_logz_jax(
+            jnp.asarray(logl, dtype=jnp.float32), jnp.asarray(beta, dtype=jnp.float32),
+            jnp.asarray(logz, dtype=jnp.float32), valid, jnp.float32(0.9))
+        np.testing.assert_allclose(float(lz_j), lz_np, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(logw_j), logw_np, rtol=1e-3, atol=1e-4)
+
+
+class TestBisectBeta:
+    def _hist(self):
+        rng = np.random.default_rng(3)
+        logl = rng.normal(-50, 10, size=(3, 128))
+        beta = np.array([0.0, 0.0, 0.0])
+        logz = np.array([0.0, 0.0, 0.0])
+        return logl, beta, logz
+
+    def test_moves_beta_up(self):
+        logl, beta, logz = self._hist()
+        b, logw, ess, lz = bisect_beta(logl, beta, logz, 0.0, 64.0)
+        assert 0.0 < b <= 1.0
+        assert abs(ess - 64.0) < 0.01 * 64.0 or b == 1.0
+
+    def test_jumps_to_one_when_easy(self):
+        # nearly-equal likelihoods: ESS stays high at beta=1
+        logl = np.full((1, 128), -10.0) + 1e-6 * np.arange(128)
+        b, logw, ess, lz = bisect_beta(logl, np.array([0.0]), np.array([0.0]),
+                                       0.0, 64.0)
+        assert b == 1.0
+
+
+class TestResampling:
+    def test_systematic_proportional(self):
+        rng = np.random.default_rng(4)
+        w = np.array([0.6, 0.2, 0.15, 0.05])
+        counts = np.zeros(4)
+        for _ in range(200):
+            idx = systematic_resample(4, w, rng)
+            counts += np.bincount(idx, minlength=4)
+        freq = counts / counts.sum()
+        np.testing.assert_allclose(freq, w, atol=0.05)
+
+    def test_multinomial_proportional(self):
+        rng = np.random.default_rng(5)
+        w = np.array([0.6, 0.2, 0.15, 0.05])
+        idx = multinomial_resample(20000, w, rng)
+        freq = np.bincount(idx, minlength=4) / 20000
+        np.testing.assert_allclose(freq, w, atol=0.02)
+
+    def test_jax_versions(self):
+        w = jnp.asarray([0.5, 0.3, 0.2])
+        idx_s = systematic_resample_jax(jax.random.key(0), 300, w)
+        idx_m = multinomial_resample_jax(jax.random.key(1), 300, w)
+        for idx in (idx_s, idx_m):
+            assert idx.shape == (300,)
+            assert int(idx.min()) >= 0 and int(idx.max()) <= 2
+        freq = np.bincount(np.asarray(idx_s), minlength=3) / 300
+        np.testing.assert_allclose(freq, np.asarray(w), atol=0.05)
+
+    def test_systematic_deterministic_given_offset(self):
+        # all mass on one particle -> all indices 0
+        w = np.array([1.0, 0.0, 0.0])
+        idx = systematic_resample(5, w, np.random.default_rng(0))
+        assert (idx == 0).all()

@@ -1,0 +1,80 @@
+"""Checkpoint save / load / resume integration (mirrors reference
+tests/test_state.py:37-63)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import pocomc_tpu as pc
+
+
+def loglike(x):
+    return -0.5 * jnp.sum(x**2, axis=-1) - jnp.log(2 * jnp.pi)
+
+
+def make_sampler(tmp_path, seed=0):
+    prior = pc.Prior([pc.Normal(0, 5), pc.Normal(0, 5)])
+    return pc.Sampler(prior, loglike, vectorize=True, random_state=seed,
+                      n_effective=256, n_active=128, precondition=False,
+                      output_dir=str(tmp_path))
+
+
+def test_save_creates_file(tmp_path):
+    s = make_sampler(tmp_path)
+    s.run(n_total=256, n_evidence=0, progress=False)
+    path = tmp_path / "pmc_test.state"
+    s.save_state(path)
+    assert path.exists()
+
+
+def test_save_every_and_resume(tmp_path):
+    s = make_sampler(tmp_path)
+    s.run(n_total=512, n_evidence=0, progress=False, save_every=2)
+    states = sorted(tmp_path.glob("pmc_*.state"))
+    assert len(states) >= 2
+    assert (tmp_path / "pmc_final.state").exists()
+    t_done = s.t
+    logz_done, _ = s.evidence()
+
+    # resume from an intermediate state and finish the run
+    intermediate = [p for p in states if "final" not in p.name][0]
+    s2 = make_sampler(tmp_path, seed=1)
+    s2.run(n_total=512, n_evidence=0, progress=False,
+           resume_state_path=intermediate)
+    assert s2.t >= t_done - 2
+    logz2, _ = s2.evidence()
+    assert abs(logz2 - logz_done) < 0.5
+
+
+def test_state_roundtrip_preserves_history(tmp_path):
+    s = make_sampler(tmp_path)
+    s.run(n_total=256, n_evidence=0, progress=False)
+    path = tmp_path / "pmc_rt.state"
+    s.save_state(path)
+
+    s2 = make_sampler(tmp_path, seed=2)
+    s2.load_state(path)
+    assert s2.t == s.t
+    assert s2.calls == s.calls
+    np.testing.assert_allclose(s2.particles.get("logl", flat=True),
+                               s.particles.get("logl", flat=True))
+    lw1, lz1 = s.particles.compute_logw_and_logz(1.0)
+    lw2, lz2 = s2.particles.compute_logw_and_logz(1.0)
+    assert lz1 == pytest.approx(lz2)
+
+
+def test_extend_finished_run(tmp_path):
+    """Resume a finished run with a larger n_total (reference
+    docs/source/checkpoint.ipynb 'Load and Add More Samples')."""
+    s = make_sampler(tmp_path)
+    s.run(n_total=256, n_evidence=0, progress=False)
+    path = tmp_path / "pmc_ext.state"
+    s.save_state(path)
+    t1 = s.t
+
+    s2 = make_sampler(tmp_path, seed=3)
+    s2.run(n_total=1024, n_evidence=0, progress=False, resume_state_path=path)
+    assert s2.t >= t1
+    logw, _ = s2.particles.compute_logw_and_logz(1.0)
+    w = np.exp(logw - logw.max())
+    assert pc.effective_sample_size(w) >= 1024 * 0.9
