@@ -217,7 +217,7 @@ class Flow:
             batch_size=1000, patience=20, learning_rate=1e-3,
             weight_decay=0.0, laplace_scale=None, gaussian_scale=None,
             annealing=True, noise=None, shuffle=True, clip_grad_norm=1.0,
-            verbose=0, seed=None):
+            verbose=0, seed=None, mesh=None):
         """Weighted maximum-likelihood training. See module docstring."""
         x = jnp.asarray(x, dtype=jnp.float32)
         n_samples = x.shape[0]
@@ -255,9 +255,20 @@ class Flow:
         n_batches = -(-x_train.shape[0] // batch_size)
         n_pad = n_batches * batch_size - x_train.shape[0]
         if n_pad > 0:
-            x_train = jnp.concatenate([x_train, x_train[:n_pad]], axis=0)
+            reps = -(-n_pad // x_train.shape[0])
+            pad_x = jnp.tile(x_train, (reps, 1))[:n_pad]
+            x_train = jnp.concatenate([x_train, pad_x], axis=0)
             w_train = jnp.concatenate([w_train, jnp.zeros(n_pad, w_train.dtype)], axis=0)
         n_train_total = x_train.shape[0]
+
+        if mesh is not None and n_train_total % mesh.size == 0:
+            # data-parallel training: samples sharded over the particle
+            # mesh; parameter grads all-reduce automatically under jit
+            x_train = mesh.shard_particles(x_train)
+            w_train = mesh.shard_particles(w_train)
+            params = mesh.replicate(self.params)
+        else:
+            params = self.params
 
         tx = optax.inject_hyperparams(
             lambda lr: optax.chain(
@@ -265,7 +276,7 @@ class Flow:
                 optax.adamw(lr, weight_decay=weight_decay),
             )
         )(lr=learning_rate)
-        opt_state = tx.init(self.params)
+        opt_state = tx.init(params)
 
         loss_fn = partial(self._loss_fn, laplace_scale=laplace_scale,
                           gaussian_scale=gaussian_scale)
@@ -298,13 +309,12 @@ class Flow:
         monitor = "val_loss" if validation else "loss"
         best_loss = np.inf
         best_epoch = 0
-        best_params = self.params
+        best_params = params
         key = jax.random.key(int(rng.integers(2**31 - 1)))
         lr = learning_rate
         plateau = _PlateauLR(lr, factor=0.2, patience=patience,
                              threshold=1e-4, min_lr=1e-6)
 
-        params = self.params
         for epoch in range(epochs):
             key, k_perm, k_noise = jax.random.split(key, 3)
             order = (jax.random.permutation(k_perm, n_train_total)

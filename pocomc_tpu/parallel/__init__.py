@@ -1,1 +1,2 @@
 from .pool import MPIPool
+from .mesh import ParticleMesh

@@ -114,6 +114,7 @@ class Sampler:
                  output_dir: str = None,
                  output_label: str = None,
                  random_state: int = None,
+                 mesh=None,
                  # accepted for reference API compatibility (no-ops here)
                  pytorch_threads=None,
                  n_ess: int = None,
@@ -123,6 +124,9 @@ class Sampler:
             warnings.warn("n_ess is deprecated. Use n_effective instead.",
                           DeprecationWarning, stacklevel=2)
             n_effective = n_ess
+
+        # Device mesh (particles sharded over chips; parallel/mesh.py).
+        self.mesh = mesh
 
         self.random_state = random_state
         seed = random_state if random_state is not None else int.from_bytes(os.urandom(4), "little")
@@ -147,6 +151,10 @@ class Sampler:
             raise ValueError("At least one of n_active or n_effective must be provided.")
         self.n_active = int(n_effective // 2) if n_active is None else int(n_active)
         self.n_effective = int(2 * self.n_active) if n_effective is None else int(n_effective)
+        if self.mesh is not None and self.n_active % self.mesh.size != 0:
+            raise ValueError(
+                f"n_active ({self.n_active}) must be divisible by the mesh "
+                f"size ({self.mesh.size}) to shard particles evenly.")
         self.n_steps = int(self.n_dim // 2) if n_steps is None else int(n_steps)
         self.n_max_steps = 10 * self.n_steps if n_max_steps is None else int(n_max_steps)
 
@@ -512,7 +520,8 @@ class Sampler:
                           shuffle=cfg["shuffle"],
                           clip_grad_norm=cfg["clip_grad_norm"],
                           verbose=cfg["verbose"],
-                          seed=int(self._rng.integers(2**31 - 1)))
+                          seed=int(self._rng.integers(2**31 - 1)),
+                          mesh=self.mesh)
             theta, _ = self.flow.forward(jnp.asarray(u, dtype=jnp.float32))
             self.theta_geometry.fit(theta, weights=jnp.asarray(w, dtype=jnp.float32),
                                     key=self._next_key())
@@ -541,13 +550,21 @@ class Sampler:
                     normal_chol=geom_src.normal_chol)
 
         f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
-        args = (f32(current_particles["u"]), f32(current_particles["x"]),
-                f32(current_particles["logdetj"]), f32(current_particles["logl"]),
-                f32(current_particles["logp"]),
+        if self.mesh is not None:
+            shard = lambda a: self.mesh.shard_particles(f32(a))
+            geom = self.mesh.replicate(geom)
+            flow_params = (self.mesh.replicate(self.flow.params)
+                           if self.preconditioned else None)
+        else:
+            shard = f32
+            flow_params = self.flow.params
+        args = (shard(current_particles["u"]), shard(current_particles["x"]),
+                shard(current_particles["logdetj"]), shard(current_particles["logl"]),
+                shard(current_particles["logp"]),
                 jnp.float32(current_particles["beta"]),
                 jnp.float32(self.proposal_scale), geom, self._next_key())
         if self.preconditioned:
-            results = self._sweep_precond(*args, flow_params=self.flow.params)
+            results = self._sweep_precond(*args, flow_params=flow_params)
         else:
             results = self._sweep_plain(*args)
         results = jax.device_get(results)
