@@ -694,9 +694,12 @@ class Sampler:
         state["current_particles"] = self.current_particles
         state["rng_state"] = self._rng.bit_generator.state
         state["jax_key"] = np.asarray(jax.random.key_data(self._key))
-        state["scaler"] = dict(mu=np.asarray(self.scaler.mu),
-                               sigma=np.asarray(self.scaler.sigma),
-                               fitted=self.scaler._fitted)
+        sc = self.scaler
+        state["scaler"] = dict(
+            mu=np.asarray(sc.mu), sigma=np.asarray(sc.sigma),
+            L=None if sc.L is None else np.asarray(sc.L),
+            L_inv=None if sc.L_inv is None else np.asarray(sc.L_inv),
+            log_det_L=np.asarray(sc.log_det_L), fitted=sc._fitted)
         for name in ("u_geometry", "theta_geometry"):
             g = getattr(self, name)
             state[name] = None if g.t_mean is None else to_np(vars(g))
@@ -712,9 +715,14 @@ class Sampler:
         self.current_particles = state["current_particles"]
         self._rng.bit_generator.state = state["rng_state"]
         self._key = jax.random.wrap_key_data(jnp.asarray(state["jax_key"]))
-        self.scaler.mu = jnp.asarray(state["scaler"]["mu"])
-        self.scaler.sigma = jnp.asarray(state["scaler"]["sigma"])
-        self.scaler._fitted = state["scaler"]["fitted"]
+        sc_state = state["scaler"]
+        self.scaler.mu = jnp.asarray(sc_state["mu"])
+        self.scaler.sigma = jnp.asarray(sc_state["sigma"])
+        if sc_state.get("L") is not None:
+            self.scaler.L = jnp.asarray(sc_state["L"])
+            self.scaler.L_inv = jnp.asarray(sc_state["L_inv"])
+            self.scaler.log_det_L = jnp.asarray(sc_state["log_det_L"])
+        self.scaler._fitted = sc_state["fitted"]
         for name in ("u_geometry", "theta_geometry"):
             if state[name] is not None:
                 g = getattr(self, name)
