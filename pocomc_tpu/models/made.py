@@ -67,9 +67,8 @@ def init_made(key, n_dim: int, hidden_sizes: list[int], n_params: int, order: np
     return params, [jnp.asarray(m) for m in masks]
 
 
-def apply_made(params, masks, x, n_dim: int, n_params: int):
-    """Forward pass: (n, d) -> (n, d, n_params). Residual on equal-width
-    hidden layers, ReLU activations."""
+def _hidden_stack(params, masks, x):
+    """Shared hidden layers: (n, d) -> (n, h) pre-activation."""
     h = x @ (params[0]["w"] * masks[0]) + params[0]["b"]
     for l in range(1, len(params) - 1):
         y = jax.nn.relu(h)
@@ -78,5 +77,29 @@ def apply_made(params, masks, x, n_dim: int, n_params: int):
             h = h + y
         else:
             h = y
+    return h
+
+
+def apply_made(params, masks, x, n_dim: int, n_params: int):
+    """Forward pass: (n, d) -> (n, d, n_params). Residual on equal-width
+    hidden layers, ReLU activations."""
+    h = _hidden_stack(params, masks, x)
     out = jax.nn.relu(h) @ (params[-1]["w"] * masks[-1]) + params[-1]["b"]
     return out.reshape(x.shape[0], n_dim, n_params)
+
+
+def apply_made_dim(params, masks, x, dim, n_params: int):
+    """MADE pass returning the parameter block of a SINGLE output dim
+    (traced index): (n, d) -> (n, n_params).
+
+    Used by the autoregressive inverse scan, where each step only needs
+    one dimension's transform parameters — slicing the output layer to
+    `n_params` columns cuts its matmul d-fold versus a full pass.
+    """
+    h = _hidden_stack(params, masks, x)
+    w_out = params[-1]["w"]
+    start = dim * n_params
+    w = jax.lax.dynamic_slice(w_out, (0, start), (w_out.shape[0], n_params))
+    m = jax.lax.dynamic_slice(masks[-1], (0, start), (w_out.shape[0], n_params))
+    b = jax.lax.dynamic_slice(params[-1]["b"], (start,), (n_params,))
+    return jax.nn.relu(h) @ (w * m) + b

@@ -86,9 +86,25 @@ def _rqs_setup(params, bins: int):
     return xk, yk, deriv
 
 
-def _gather_bin(arr, idx):
-    """arr: (..., K), idx: (...) -> arr[..., idx] elementwise."""
-    return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+def _gather_pair(arr, oh0, oh1):
+    """Gather arr[..., idx] and arr[..., idx+1] via one-hot contractions.
+
+    TPU-friendly replacement for take_along_axis: gathers lower to slow
+    scatter/gather sequences on the VPU, while a one-hot multiply-reduce
+    over K<=9 lanes is a handful of fused vector ops.
+    """
+    return jnp.sum(arr * oh0, axis=-1), jnp.sum(arr * oh1, axis=-1)
+
+
+def _bin_onehots(pos, knots, bins):
+    """One-hot encodings of the bin index (and index+1) containing pos."""
+    idx = jnp.clip(jnp.sum((pos[..., None] >= knots[..., 1:-1]), axis=-1),
+                   0, bins - 1)
+    K = knots.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, pos.shape + (K,), pos.ndim)
+    oh0 = (iota == idx[..., None]).astype(knots.dtype)
+    oh1 = (iota == (idx + 1)[..., None]).astype(knots.dtype)
+    return oh0, oh1
 
 
 def rqs_forward(x, params, bins: int):
@@ -98,13 +114,10 @@ def rqs_forward(x, params, bins: int):
     inside = (x > -B) & (x < B)
     xc = jnp.clip(x, -B + 1e-6, B - 1e-6)
 
-    idx = jnp.clip(jnp.sum(xc[..., None] >= xk[..., 1:-1], axis=-1), 0, bins - 1)
-    x0 = _gather_bin(xk, idx)
-    x1 = _gather_bin(xk, idx + 1)
-    y0 = _gather_bin(yk, idx)
-    y1 = _gather_bin(yk, idx + 1)
-    d0 = _gather_bin(deriv, idx)
-    d1 = _gather_bin(deriv, idx + 1)
+    oh0, oh1 = _bin_onehots(xc, xk, bins)
+    x0, x1 = _gather_pair(xk, oh0, oh1)
+    y0, y1 = _gather_pair(yk, oh0, oh1)
+    d0, d1 = _gather_pair(deriv, oh0, oh1)
 
     w = x1 - x0
     h = y1 - y0
@@ -127,13 +140,10 @@ def rqs_inverse(y, params, bins: int):
     inside = (y > -B) & (y < B)
     yc = jnp.clip(y, -B + 1e-6, B - 1e-6)
 
-    idx = jnp.clip(jnp.sum(yc[..., None] >= yk[..., 1:-1], axis=-1), 0, bins - 1)
-    x0 = _gather_bin(xk, idx)
-    x1 = _gather_bin(xk, idx + 1)
-    y0 = _gather_bin(yk, idx)
-    y1 = _gather_bin(yk, idx + 1)
-    d0 = _gather_bin(deriv, idx)
-    d1 = _gather_bin(deriv, idx + 1)
+    oh0, oh1 = _bin_onehots(yc, yk, bins)
+    x0, x1 = _gather_pair(xk, oh0, oh1)
+    y0, y1 = _gather_pair(yk, oh0, oh1)
+    d0, d1 = _gather_pair(deriv, oh0, oh1)
 
     w = x1 - x0
     h = y1 - y0
