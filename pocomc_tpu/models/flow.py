@@ -238,14 +238,27 @@ class Flow:
             batch_size=1000, patience=20, learning_rate=1e-3,
             weight_decay=0.0, laplace_scale=None, gaussian_scale=None,
             annealing=True, noise=None, shuffle=True, clip_grad_norm=1.0,
-            verbose=0, seed=None, mesh=None):
-        """Weighted maximum-likelihood training. See module docstring."""
-        x = jnp.asarray(x, dtype=jnp.float32)
+            verbose=0, seed=None, mesh=None, epoch_chunk="auto"):
+        """Weighted maximum-likelihood training. See module docstring.
+
+        `epoch_chunk` epochs run inside ONE device call (a lax.scan over
+        epochs with on-device best-parameter tracking), so the host only
+        syncs once per chunk — essential when the accelerator sits behind
+        a high-latency link. Early stopping is evaluated at chunk
+        granularity; "auto" picks ~patience/2 so the stopping lag stays
+        well under the reference's 1.5*patience stale-epoch rule
+        (reference flow.py:291-374 syncs every epoch).
+        """
+        # ALL preprocessing (shuffle, split, padding, bucketing) happens in
+        # host numpy with ONE device transfer at the end: eager jnp ops here
+        # would each pay a dispatch round trip to the accelerator, which
+        # dominates wall-clock behind a high-latency link.
+        x = np.asarray(jax.device_get(x), dtype=np.float32)
         n_samples = x.shape[0]
         if weights is None:
-            w_all = jnp.full((n_samples,), 1.0 / n_samples, dtype=jnp.float32)
+            w_all = np.full((n_samples,), 1.0 / n_samples, dtype=np.float32)
         else:
-            w_all = jnp.asarray(weights, dtype=jnp.float32)
+            w_all = np.asarray(jax.device_get(weights), dtype=np.float32)
 
         rng = np.random.default_rng(seed)
         if shuffle:
@@ -253,13 +266,30 @@ class Flow:
             x = x[perm]
             w_all = w_all[perm]
 
+        # Bucket the TOTAL sample count to a power of two up front (zero-
+        # weight duplicate rows, shuffled in) so every downstream shape —
+        # split, batch count, validation pad — is a pure function of the
+        # bucket: across an SMC run whose trimmed history drifts every
+        # iteration this collapses train-program recompiles to O(log n).
+        n_bucket = _next_pow2(n_samples)
+        if n_bucket > n_samples:
+            pad_idx = rng.integers(0, n_samples, size=n_bucket - n_samples)
+            x = np.concatenate([x, x[pad_idx]], axis=0)
+            w_all = np.concatenate(
+                [w_all, np.zeros(n_bucket - n_samples, w_all.dtype)], axis=0)
+            if shuffle:
+                perm = rng.permutation(n_bucket)
+                x = x[perm]
+                w_all = w_all[perm]
+            n_samples = n_bucket
+
         if noise is not None:
             # mean nearest-neighbor distance, vectorized (reference
-            # flow.py:240-245 is an O(n^2) python loop; same O(n^2) math
-            # but one fused program)
-            d2 = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
-            d2 = jnp.where(d2 <= 0.0, jnp.inf, d2)
-            noise_scale = float(noise) * float(jnp.mean(jnp.sqrt(jnp.min(d2, axis=1))))
+            # flow.py:240-245 is an O(n^2) python loop)
+            d2 = np.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+            np.fill_diagonal(d2, np.inf)
+            d2[d2 <= 0.0] = np.inf
+            noise_scale = float(noise) * float(np.mean(np.sqrt(np.min(d2, axis=1))))
         else:
             noise_scale = 0.0
 
@@ -272,15 +302,34 @@ class Flow:
             x_train, w_train = x, w_all
             x_val = w_val = None
 
+        def pad_pow2_rows(xa, wa, n_target):
+            n_pad = n_target - xa.shape[0]
+            if n_pad <= 0:
+                return xa, wa
+            reps = -(-n_pad // xa.shape[0])
+            pad_x = np.tile(xa, (reps, 1))[:n_pad]
+            return (np.concatenate([xa, pad_x], axis=0),
+                    np.concatenate([wa, np.zeros(n_pad, wa.dtype)], axis=0))
+
         batch_size = max(1, min(int(batch_size), x_train.shape[0]))
-        n_batches = -(-x_train.shape[0] // batch_size)
-        n_pad = n_batches * batch_size - x_train.shape[0]
-        if n_pad > 0:
-            reps = -(-n_pad // x_train.shape[0])
-            pad_x = jnp.tile(x_train, (reps, 1))[:n_pad]
-            x_train = jnp.concatenate([x_train, pad_x], axis=0)
-            w_train = jnp.concatenate([w_train, jnp.zeros(n_pad, w_train.dtype)], axis=0)
+        # floor to a power of two: callers pass data-dependent batch sizes
+        # (reference sampler.py:659 uses len(u)//2) which would otherwise
+        # force a recompile per SMC iteration
+        batch_size = 1 << (batch_size.bit_length() - 1)
+        # Bucket the batch count to a power of two so recompiles across SMC
+        # iterations (whose trimmed-history size drifts every round) are
+        # bounded to O(log) distinct shapes. Padding rows carry zero weight
+        # and are invisible to the per-batch weighted loss.
+        n_batches = _next_pow2(-(-x_train.shape[0] // batch_size))
+        n_train_real = float(x_train.shape[0])
+        x_train, w_train = pad_pow2_rows(x_train, w_train, n_batches * batch_size)
         n_train_total = x_train.shape[0]
+
+        if validation:
+            n_val_real = float(x_val.shape[0])
+            x_val, w_val = pad_pow2_rows(x_val, w_val, _next_pow2(x_val.shape[0]))
+            x_val = jnp.asarray(x_val)
+            w_val = jnp.asarray(w_val)
 
         if mesh is not None and n_train_total % mesh.size == 0:
             # data-parallel training: samples sharded over the particle
@@ -289,92 +338,143 @@ class Flow:
             w_train = mesh.shard_particles(w_train)
             params = mesh.replicate(self.params)
         else:
+            x_train = jnp.asarray(x_train)
+            w_train = jnp.asarray(w_train)
             params = self.params
 
-        tx = optax.inject_hyperparams(
-            lambda lr: optax.chain(
-                optax.clip_by_global_norm(clip_grad_norm),
-                optax.adamw(lr, weight_decay=weight_decay),
-            )
-        )(lr=learning_rate)
+        # Optimizer and compiled chunk programs are cached on the instance:
+        # `fit` is called once per SMC iteration and redefining the jitted
+        # closure each time would defeat JAX's compilation cache entirely
+        # (observed: 12 identical recompiles per run before caching).
+        tx_key = (clip_grad_norm, weight_decay)
+        if not hasattr(self, "_tx_cache"):
+            self._tx_cache = {}
+            self._chunk_cache = {}
+        if tx_key not in self._tx_cache:
+            self._tx_cache[tx_key] = optax.inject_hyperparams(
+                lambda lr: optax.chain(
+                    optax.clip_by_global_norm(clip_grad_norm),
+                    optax.adamw(lr, weight_decay=weight_decay),
+                )
+            )(lr=learning_rate)
+        tx = self._tx_cache[tx_key]
         opt_state = tx.init(params)
+        opt_state.hyperparams["lr"] = jnp.asarray(learning_rate, jnp.float32)
 
-        loss_fn = partial(self._loss_fn, laplace_scale=laplace_scale,
-                          gaussian_scale=gaussian_scale)
+        if not validation:
+            x_val = jnp.zeros((1, self.n_dim), jnp.float32)
+            w_val = jnp.zeros((1,), jnp.float32)
+            n_val_real = 1.0
 
-        @jax.jit
-        def train_epoch(params, opt_state, xd, wd, order, key):
-            xb = xd[order].reshape(n_batches, batch_size, self.n_dim)
-            wb = wd[order].reshape(n_batches, batch_size)
+        chunk_key = (n_train_total, n_batches, batch_size, bool(validation),
+                     bool(shuffle), noise is not None, tx_key,
+                     laplace_scale, gaussian_scale)
+        if chunk_key not in self._chunk_cache:
+            loss_fn = partial(self._loss_fn, laplace_scale=laplace_scale,
+                              gaussian_scale=gaussian_scale)
+            n_dim = self.n_dim
+            has_noise = noise is not None
+            use_val = bool(validation)
+            do_shuffle = bool(shuffle)
 
-            def step(carry, batch):
-                params, opt_state, key = carry
-                xi, wi = batch
-                if noise is not None:
-                    key, sub = jax.random.split(key)
-                    xi = xi + noise_scale * jax.random.normal(sub, xi.shape)
-                loss, grads = jax.value_and_grad(loss_fn)(params, xi, wi)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state, key), loss
+            def one_epoch(carry, _):
+                (params, opt_state, key, best_params, best_loss, best_idx,
+                 epoch_idx, xt, wt, xv, wv, nscale, n_tr, n_vl) = carry
+                key, k_perm, k_noise = jax.random.split(key, 3)
+                order = (jax.random.permutation(k_perm, n_train_total)
+                         if do_shuffle else jnp.arange(n_train_total))
+                xb = xt[order].reshape(n_batches, batch_size, n_dim)
+                wb = wt[order].reshape(n_batches, batch_size)
 
-            (params, opt_state, key), losses = jax.lax.scan(
-                step, (params, opt_state, key), (xb, wb))
-            return params, opt_state, jnp.sum(losses) / n_train_total
+                def step(c, batch):
+                    p, o, k = c
+                    xi, wi = batch
+                    if has_noise:
+                        k, sub = jax.random.split(k)
+                        xi = xi + nscale * jax.random.normal(sub, xi.shape)
+                    loss, grads = jax.value_and_grad(loss_fn)(p, xi, wi)
+                    updates, o = tx.update(grads, o, p)
+                    p = optax.apply_updates(p, updates)
+                    return (p, o, k), loss
 
-        @jax.jit
-        def eval_loss(params, xd, wd):
-            return loss_fn(params, xd, wd) / xd.shape[0]
+                (params, opt_state, _), losses = jax.lax.scan(
+                    step, (params, opt_state, k_noise), (xb, wb))
+                train_loss = jnp.sum(losses) / n_tr
+                if use_val:
+                    current = loss_fn(params, xv, wv) / n_vl
+                else:
+                    current = train_loss
+
+                improved = current < best_loss
+                best_params = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(improved, a, b), params, best_params)
+                best_loss = jnp.where(improved, current, best_loss)
+                best_idx = jnp.where(improved, epoch_idx, best_idx)
+                carry = (params, opt_state, key, best_params, best_loss,
+                         best_idx, epoch_idx + 1, xt, wt, xv, wv, nscale,
+                         n_tr, n_vl)
+                return carry, (train_loss, current)
+
+            self._chunk_cache[chunk_key] = jax.jit(
+                lambda carry, length: jax.lax.scan(one_epoch, carry, None,
+                                                   length=length),
+                static_argnames=("length",))
+        train_chunk = self._chunk_cache[chunk_key]
 
         history = {"loss": [], "val_loss": []}
         monitor = "val_loss" if validation else "loss"
-        best_loss = np.inf
-        best_epoch = 0
-        best_params = params
         key = jax.random.key(int(rng.integers(2**31 - 1)))
         lr = learning_rate
         plateau = _PlateauLR(lr, factor=0.2, patience=patience,
                              threshold=1e-4, min_lr=1e-6)
 
-        for epoch in range(epochs):
-            key, k_perm, k_noise = jax.random.split(key, 3)
-            order = (jax.random.permutation(k_perm, n_train_total)
-                     if shuffle else jnp.arange(n_train_total))
-            params, opt_state, train_loss = train_epoch(
-                params, opt_state, x_train, w_train, order, k_noise)
-            train_loss = float(train_loss)
-            history["loss"].append(train_loss)
+        stop_after = int(1.5 * patience)
+        if epoch_chunk == "auto":
+            chunk = max(1, min(max(stop_after // 2, 1), 25))
+        else:
+            chunk = max(1, int(epoch_chunk))
+        chunk = min(chunk, epochs)
 
+        carry = (params, opt_state, key, params,
+                 jnp.asarray(np.inf, jnp.float32), jnp.asarray(0, jnp.int32),
+                 jnp.asarray(0, jnp.int32), x_train, w_train, x_val, w_val,
+                 jnp.asarray(noise_scale, jnp.float32),
+                 jnp.asarray(n_train_real, jnp.float32),
+                 jnp.asarray(n_val_real, jnp.float32))
+        epochs_done = 0
+        while epochs_done < epochs:
+            # constant chunk length -> one compiled program per shape
+            # bucket (may overshoot `epochs` by < chunk; best-params
+            # tracking makes the extra epochs harmless)
+            length = chunk
+            carry, (tl, cl) = train_chunk(carry, length)
+            tl = np.asarray(tl, dtype=np.float64)
+            cl = np.asarray(cl, dtype=np.float64)
+            history["loss"].extend(tl.tolist())
             if validation:
-                val_loss = float(eval_loss(params, x_val, w_val))
-                history["val_loss"].append(val_loss)
-                current = val_loss
-            else:
-                current = train_loss
-
-            if annealing:
-                new_lr = plateau.step(current)
-                if new_lr != lr:
-                    lr = new_lr
-                    opt_state.hyperparams["lr"] = jnp.asarray(lr)
-
-            if current < best_loss:
-                best_loss = current
-                best_epoch = epoch
-                best_params = params
+                history["val_loss"].extend(cl.tolist())
+            epochs_done += length
 
             if verbose > 1:
-                print(f"Epoch {epoch + 1}/{epochs}, loss {train_loss:.3f}"
-                      + (f", val {val_loss:.3f}" if validation else ""))
+                print(f"Epoch {epochs_done}/{epochs}, loss {tl[-1]:.3f}"
+                      + (f", val {cl[-1]:.3f}" if validation else ""))
 
-            if epoch - best_epoch >= int(1.5 * patience):
-                params = best_params
+            if annealing:
+                for v in cl:
+                    new_lr = plateau.step(float(v))
+                if new_lr != lr:
+                    lr = new_lr
+                    carry[1].hyperparams["lr"] = jnp.asarray(lr)
+
+            best_idx = int(carry[5])
+            if epochs_done - 1 - best_idx >= stop_after:
                 if verbose > 0:
-                    print(f"Finished early after {best_epoch} epochs; "
-                          f"best {monitor} {best_loss:.3f}")
+                    print(f"Finished early after {best_idx} epochs; "
+                          f"best {monitor} {float(carry[4]):.3f}")
                 break
 
-        self.params = best_params if best_loss < np.inf else params
+        params, best_params, best_loss = carry[0], carry[3], carry[4]
+        self.params = best_params if np.isfinite(float(best_loss)) else params
         return history
 
 

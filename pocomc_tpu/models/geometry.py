@@ -21,7 +21,6 @@ from .student import fit_mvstud
 from ..ops.resampling import systematic_resample_jax
 
 
-@jax.jit
 def _weighted_moments(theta, weights):
     """Weighted mean and covariance with np.cov(aweights=w, ddof=1) norm."""
     w = weights / jnp.sum(weights)
@@ -33,7 +32,6 @@ def _weighted_moments(theta, weights):
     return mean, cov
 
 
-@jax.jit
 def _unweighted_moments(theta):
     mean = jnp.mean(theta, axis=0)
     diffs = theta - mean
@@ -42,17 +40,13 @@ def _unweighted_moments(theta):
     return mean, cov
 
 
-def fit_geometry_jax(theta, weights=None, key=None):
-    """Full geometry fit on device. Returns a dict of arrays."""
-    theta = jnp.asarray(theta)
+def _fit_geometry_impl(theta, weights, key):
+    """Full geometry fit as ONE traced program (called under jit)."""
     if weights is None:
         normal_mean, normal_cov = _unweighted_moments(theta)
         t_mean, t_cov, t_nu = fit_mvstud(theta)
     else:
-        weights = jnp.asarray(weights)
         normal_mean, normal_cov = _weighted_moments(theta, weights)
-        if key is None:
-            key = jax.random.key(0)
         idx = systematic_resample_jax(key, theta.shape[0], weights)
         t_mean, t_cov, t_nu = fit_mvstud(theta[idx])
     t_nu = jnp.where(jnp.isfinite(t_nu), t_nu, 1e6)
@@ -71,6 +65,22 @@ def fit_geometry_jax(theta, weights=None, key=None):
         t_chol=jnp.linalg.cholesky(t_cov_reg),
         t_inv_cov=jnp.linalg.inv(t_cov_reg),
     )
+
+
+_fit_geometry_weighted = jax.jit(lambda theta, weights, key:
+                                 _fit_geometry_impl(theta, weights, key))
+_fit_geometry_unweighted = jax.jit(lambda theta:
+                                   _fit_geometry_impl(theta, None, None))
+
+
+def fit_geometry_jax(theta, weights=None, key=None):
+    """Full geometry fit on device, one jitted call. Returns dict of arrays."""
+    theta = jnp.asarray(theta)
+    if weights is None:
+        return _fit_geometry_unweighted(theta)
+    if key is None:
+        key = jax.random.key(0)
+    return _fit_geometry_weighted(theta, jnp.asarray(weights), key)
 
 
 class Geometry:

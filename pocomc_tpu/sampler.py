@@ -279,6 +279,12 @@ class Sampler:
 
         logprior_dev = make_logprior_device(self.prior, n)
         self._logprior_dev = logprior_dev
+        # host-facing prior eval: one jitted call when traceable, instead
+        # of per-distribution eager dispatches
+        if getattr(self.prior, "traceable", False) or logprior_dev is self.prior.logpdf:
+            self._logprior_host = jax.jit(self.prior.logpdf)
+        else:
+            self._logprior_host = self.prior.logpdf
 
         common = dict(scaler=self.scaler, log_prior=logprior_dev,
                       log_like=loglike_dev, n_dim=self.n_dim,
@@ -413,7 +419,7 @@ class Sampler:
                            dtype=np.float64)
             _, logdetj_d = self._scaler_inverse(jnp.asarray(u, dtype=jnp.float32))
             logdetj = np.asarray(jax.device_get(logdetj_d), dtype=np.float64)
-            logp = np.asarray(jax.device_get(jnp.asarray(self.log_prior(x))), dtype=np.float64)
+            logp = np.asarray(jax.device_get(jnp.asarray(self._logprior_host(jnp.asarray(x, dtype=jnp.float32)))), dtype=np.float64)
             logl, blobs = self._log_like(x)
             self.calls += self.n_active
 
@@ -498,16 +504,32 @@ class Sampler:
         current_particles["ess"] = ess_est
         return current_particles
 
+    @staticmethod
+    def _pad_pow2(u, w, rng):
+        """Pad (u, w) to a power-of-two row count with zero-weight
+        duplicate rows: keeps flow-forward/geometry-fit compile shapes
+        bucketed as the trimmed history drifts, without touching any
+        weighted statistic."""
+        n = len(u)
+        n_bucket = 1 << (n - 1).bit_length()
+        if n_bucket == n:
+            return u, w
+        idx = rng.integers(0, n, size=n_bucket - n)
+        return (np.concatenate([u, u[idx]], axis=0),
+                np.concatenate([w, np.zeros(n_bucket - n, dtype=w.dtype)]))
+
     def _train(self, current_particles):
         u = current_particles["u"]
         w = current_particles["weights"]
+        u, w = self._pad_pow2(np.asarray(u), np.asarray(w, dtype=np.float64),
+                              self._rng)
         if self.preconditioned and (self.t % self.train_frequency == 0
                                     or current_particles["beta"] == 1.0
                                     or self.flow_untrained):
             self.flow_untrained = False
             cfg = self.train_config
-            self.flow.fit(jnp.asarray(u, dtype=jnp.float32),
-                          weights=jnp.asarray(w, dtype=jnp.float32),
+            self.flow.fit(np.asarray(u, dtype=np.float32),
+                          weights=np.asarray(w, dtype=np.float32),
                           validation_split=cfg["validation_split"],
                           epochs=cfg["epochs"],
                           batch_size=int(min(len(u) // 2, cfg["batch_size"])),
@@ -610,7 +632,7 @@ class Sampler:
         logdetj = np.asarray(jax.device_get(logdetj), dtype=np.float64)
         logq = np.asarray(jax.device_get(logq), dtype=np.float64)
 
-        logp = np.asarray(jax.device_get(jnp.asarray(self.log_prior(x_q))), dtype=np.float64)
+        logp = np.asarray(jax.device_get(jnp.asarray(self._logprior_host(jnp.asarray(x_q, dtype=jnp.float32)))), dtype=np.float64)
         finite = np.isfinite(logp)
         x_q, logdetj, logq, logp = x_q[finite], logdetj[finite], logq[finite], logp[finite]
 
