@@ -64,13 +64,16 @@ def main():
     jax.block_until_ready(res["u"])
     assert int(res["steps"]) == n_steps_fixed
 
-    # timed runs
-    n_rep = 5
-    t0 = time.perf_counter()
+    # timed runs; median over reps (the TPU link has rare multi-second
+    # stall episodes that would corrupt a mean)
+    n_rep = 7
+    dts = []
     for i in range(n_rep):
+        t0 = time.perf_counter()
         res = run(jax.random.key(2 + i))
         jax.block_until_ready(res["u"])
-    dt = (time.perf_counter() - t0) / n_rep
+        dts.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
 
     particle_steps_per_sec = n_active * n_steps_fixed / dt
     baseline = 343.0  # reference CPU particle-steps/sec (BASELINE.md)

@@ -45,6 +45,13 @@ _ARCHS = {
     "nsf3": ("nsf", 3), "nsf6": ("nsf", 6), "nsf12": ("nsf", 12),
 }
 
+# Module-level cache of compiled program sets, keyed by flow configuration.
+# Masks/orders are deterministic functions of the config, so every Flow
+# instance with the same config shares the same traced+compiled functions —
+# a fresh Sampler per run would otherwise recompile everything (observed:
+# 137 s vs 20 s for the Rosenbrock-10 quickstart).
+_PROGRAM_CACHE: dict = {}
+
 
 class Flow:
     """Masked-autoregressive normalizing flow with a trainer.
@@ -97,7 +104,32 @@ class Flow:
         # position k updates dim argsort(order)[k]
         self._inv_dim_order = [np.argsort(o).astype(np.int32) for o in self.orders]
 
-        self._build_fns()
+        self._config_key = (self.n_dim, self.kind, self.n_transforms,
+                            self.bins, tuple(self.hidden_sizes),
+                            self.use_pallas)
+        cached = _PROGRAM_CACHE.get(self._config_key)
+        if cached is None:
+            self._build_fns()
+            _PROGRAM_CACHE[self._config_key] = dict(
+                forward=self._forward, inverse=self._inverse,
+                log_prob=self._log_prob, sample=self._sample,
+                forward_jit=self._forward_jit, inverse_jit=self._inverse_jit,
+                log_prob_jit=self._log_prob_jit, sample_jit=self._sample_jit,
+                kernel_fwd=self.kernel_fwd, kernel_inv=self.kernel_inv,
+                tx_cache={}, chunk_cache={})
+        else:
+            self._forward = cached["forward"]
+            self._inverse = cached["inverse"]
+            self._log_prob = cached["log_prob"]
+            self._sample = cached["sample"]
+            self._forward_jit = cached["forward_jit"]
+            self._inverse_jit = cached["inverse_jit"]
+            self._log_prob_jit = cached["log_prob_jit"]
+            self._sample_jit = cached["sample_jit"]
+            self.kernel_fwd = cached["kernel_fwd"]
+            self.kernel_inv = cached["kernel_inv"]
+        self._tx_cache = _PROGRAM_CACHE[self._config_key]["tx_cache"]
+        self._chunk_cache = _PROGRAM_CACHE[self._config_key]["chunk_cache"]
 
     # -- functional core -----------------------------------------------------
 
@@ -347,9 +379,6 @@ class Flow:
         # closure each time would defeat JAX's compilation cache entirely
         # (observed: 12 identical recompiles per run before caching).
         tx_key = (clip_grad_norm, weight_decay)
-        if not hasattr(self, "_tx_cache"):
-            self._tx_cache = {}
-            self._chunk_cache = {}
         if tx_key not in self._tx_cache:
             self._tx_cache[tx_key] = optax.inject_hyperparams(
                 lambda lr: optax.chain(
@@ -369,6 +398,7 @@ class Flow:
         chunk_key = (n_train_total, n_batches, batch_size, bool(validation),
                      bool(shuffle), noise is not None, tx_key,
                      laplace_scale, gaussian_scale)
+        full_key = ("full",) + chunk_key
         if chunk_key not in self._chunk_cache:
             loss_fn = partial(self._loss_fn, laplace_scale=laplace_scale,
                               gaussian_scale=gaussian_scale)
@@ -419,7 +449,33 @@ class Flow:
                 lambda carry, length: jax.lax.scan(one_epoch, carry, None,
                                                    length=length),
                 static_argnames=("length",))
+
+            # Single-call variant: the whole fit (epoch loop + early stop)
+            # as ONE lax.while_loop program — zero host syncs per epoch.
+            # Usable whenever the host-side plateau LR schedule is off.
+            def train_full(carry, max_epochs, stop_after):
+                losses0 = jnp.zeros((max_epochs, 2), jnp.float32)
+
+                def cond(state):
+                    carry, _ = state
+                    epoch_idx, best_idx = carry[6], carry[5]
+                    return ((epoch_idx < max_epochs)
+                            & (epoch_idx - 1 - best_idx < stop_after))
+
+                def body(state):
+                    carry, losses = state
+                    epoch_idx = carry[6]
+                    carry, (tl, cl) = one_epoch(carry, None)
+                    losses = jax.lax.dynamic_update_slice(
+                        losses, jnp.stack([tl, cl])[None, :], (epoch_idx, 0))
+                    return carry, losses
+
+                return jax.lax.while_loop(cond, body, (carry, losses0))
+
+            self._chunk_cache[full_key] = jax.jit(
+                train_full, static_argnames=("max_epochs", "stop_after"))
         train_chunk = self._chunk_cache[chunk_key]
+        train_full = self._chunk_cache[full_key]
 
         history = {"loss": [], "val_loss": []}
         monitor = "val_loss" if validation else "loss"
@@ -441,6 +497,22 @@ class Flow:
                  jnp.asarray(noise_scale, jnp.float32),
                  jnp.asarray(n_train_real, jnp.float32),
                  jnp.asarray(n_val_real, jnp.float32))
+        if not annealing:
+            # one device call for the entire fit (see train_full above)
+            carry, losses = train_full(carry, epochs, stop_after)
+            n_done = int(carry[6])
+            losses = np.asarray(losses[:n_done], dtype=np.float64)
+            history["loss"] = losses[:, 0].tolist()
+            if validation:
+                history["val_loss"] = losses[:, 1].tolist()
+            if verbose > 0:
+                print(f"Trained {n_done} epochs; best {monitor} "
+                      f"{float(carry[4]):.3f} at epoch {int(carry[5])}")
+            params, best_params, best_loss = carry[0], carry[3], carry[4]
+            self.params = (best_params if np.isfinite(float(best_loss))
+                           else params)
+            return history
+
         epochs_done = 0
         while epochs_done < epochs:
             # constant chunk length -> one compiled program per shape
