@@ -129,94 +129,114 @@ def make_sweep(
             x_prime, ldj_prime = scaler.inverse(u_prime)
         return u_prime, x_prime, ldj_prime, theta_prime, ldjf_prime
 
-    def body_factory(beta, geom, flow_params):
+    def propose(st: SweepState, beta, geom, flow_params):
+        """Draw proposals and compute everything that does NOT require the
+        likelihood: proposal points in all three spaces, Jacobians, prior,
+        finite masks, Student-t quadratic forms, fresh RNG key."""
         inv_cov = geom.get("t_inv_cov")
         t_chol = geom.get("t_chol")
         nu = geom.get("t_nu")
         n_chol = geom.get("normal_chol")
 
-        def body(st: SweepState) -> SweepState:
-            key, k_gamma, k_norm, k_unif = jax.random.split(st.key, 4)
-            n = st.u.shape[0]
-            cur = st.theta if preconditioned else st.u
-            i1 = (st.i + 1).astype(st.sigma.dtype)
+        key, k_gamma, k_norm, k_unif = jax.random.split(st.key, 4)
+        n = st.u.shape[0]
+        cur = st.theta if preconditioned else st.u
 
-            if kind == "tpcn":
-                diff = cur - st.mu
-                q = _student_quadform(diff, inv_cov)
-                g = jax.random.gamma(k_gamma, 0.5 * (n_dim + nu), (n,), dtype=cur.dtype)
-                s = (nu + q) / (2.0 * g)
-                z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
-                step = jnp.sqrt(s)[:, None] * (z @ t_chol.T)
-                v_prime = st.mu + jnp.sqrt(1.0 - st.sigma**2) * diff + st.sigma * step
-            else:
-                z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
-                v_prime = cur + st.sigma * (z @ n_chol.T)
+        if kind == "tpcn":
+            diff = cur - st.mu
+            q = _student_quadform(diff, inv_cov)
+            g = jax.random.gamma(k_gamma, 0.5 * (n_dim + nu), (n,), dtype=cur.dtype)
+            s = (nu + q) / (2.0 * g)
+            z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
+            step = jnp.sqrt(s)[:, None] * (z @ t_chol.T)
+            v_prime = st.mu + jnp.sqrt(1.0 - st.sigma**2) * diff + st.sigma * step
+        else:
+            q = jnp.zeros(n, cur.dtype)
+            z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
+            v_prime = cur + st.sigma * (z @ n_chol.T)
 
-            u_p, x_p, ldj_p, theta_p, ldjf_p = _to_x(v_prime, flow_params)
+        u_p, x_p, ldj_p, theta_p, ldjf_p = _to_x(v_prime, flow_params)
 
-            finite = jnp.isfinite(ldj_p) & jnp.all(jnp.isfinite(x_p), axis=1)
-            x_safe = jnp.where(finite[:, None], x_p, st.x)
-            logp_p = jnp.where(finite, log_prior(x_safe), -jnp.inf)
-            finite = finite & jnp.isfinite(logp_p)
-            logl_p = log_like(x_safe, finite)
-            calls = st.calls + jnp.sum(finite)
+        finite = jnp.isfinite(ldj_p) & jnp.all(jnp.isfinite(x_p), axis=1)
+        x_safe = jnp.where(finite[:, None], x_p, st.x)
+        logp_p = jnp.where(finite, log_prior(x_safe), -jnp.inf)
+        finite = finite & jnp.isfinite(logp_p)
 
-            log_ratio = (beta * (logl_p - st.logl)
-                         + (logp_p - st.logp)
-                         + (ldj_p - st.logdetj))
+        if kind == "tpcn":
+            qp = _student_quadform(v_prime - st.mu, inv_cov)
+        else:
+            qp = q
+        return dict(u=u_p, x=x_p, x_safe=x_safe, logdetj=ldj_p,
+                    theta=theta_p, logdetj_flow=ldjf_p, logp=logp_p,
+                    finite=finite, q=q, qp=qp, k_unif=k_unif, key=key)
+
+    def accept_update(st: SweepState, prop, logl_p, beta, geom) -> tuple:
+        """Metropolis accept + diminishing adaptation + plateau counters.
+        Returns (new_state, accept_mask)."""
+        nu = geom.get("t_nu")
+        n = st.u.shape[0]
+        i1 = (st.i + 1).astype(st.sigma.dtype)
+        calls = st.calls + jnp.sum(prop["finite"])
+
+        log_ratio = (beta * (logl_p - st.logl)
+                     + (prop["logp"] - st.logp)
+                     + (prop["logdetj"] - st.logdetj))
+        if preconditioned:
+            log_ratio = log_ratio + (prop["logdetj_flow"] - st.logdetj_flow)
+        if kind == "tpcn":
+            half = 0.5 * (n_dim + nu)
+            A = -half * jnp.log1p(prop["qp"] / nu)
+            B = -half * jnp.log1p(prop["q"] / nu)
+            log_ratio = log_ratio - A + B
+
+        alpha = jnp.minimum(1.0, jnp.exp(log_ratio))
+        alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+        accept = jax.random.uniform(prop["k_unif"], (n,), dtype=alpha.dtype) < alpha
+
+        sel = lambda a, b: jnp.where(accept[:, None] if a.ndim == 2 else accept, a, b)
+        u = sel(prop["u"], st.u)
+        x = sel(prop["x"], st.x)
+        logdetj = sel(prop["logdetj"], st.logdetj)
+        logl = sel(logl_p, st.logl)
+        logp = sel(prop["logp"], st.logp)
+        theta = sel(prop["theta"], st.theta)
+        ldjf = sel(prop["logdetj_flow"], st.logdetj_flow)
+
+        alpha_mean = jnp.mean(alpha)
+        if kind == "tpcn":
+            # diminishing adaptation, capped (reference mcmc.py:152)
+            sigma = jnp.abs(jnp.minimum(
+                st.sigma + (alpha_mean - 0.234) / i1**0.75, sigma_cap))
             if preconditioned:
-                log_ratio = log_ratio + (ldjf_p - st.logdetj_flow)
-            if kind == "tpcn":
-                qp = _student_quadform(v_prime - st.mu, inv_cov)
-                half = 0.5 * (n_dim + nu)
-                A = -half * jnp.log1p(qp / nu)
-                B = -half * jnp.log1p(q / nu)
-                log_ratio = log_ratio - A + B
-
-            alpha = jnp.minimum(1.0, jnp.exp(log_ratio))
-            alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
-            accept = jax.random.uniform(k_unif, (n,), dtype=alpha.dtype) < alpha
-
-            sel = lambda a, b: jnp.where(accept[:, None] if a.ndim == 2 else accept, a, b)
-            u = sel(u_p, st.u)
-            x = sel(x_p, st.x)
-            logdetj = sel(ldj_p, st.logdetj)
-            logl = sel(logl_p, st.logl)
-            logp = sel(logp_p, st.logp)
-            theta = sel(theta_p, st.theta)
-            ldjf = sel(ldjf_p, st.logdetj_flow)
-
-            alpha_mean = jnp.mean(alpha)
-            if kind == "tpcn":
-                # diminishing adaptation, capped (reference mcmc.py:152)
-                sigma = jnp.abs(jnp.minimum(
-                    st.sigma + (alpha_mean - 0.234) / i1**0.75, sigma_cap))
-                if preconditioned:
-                    mu = st.mu + (jnp.mean(theta, axis=0) - st.mu) / i1
-                else:
-                    mu = st.mu
+                mu = st.mu + (jnp.mean(theta, axis=0) - st.mu) / i1
             else:
-                if preconditioned:
-                    sigma = st.sigma + (alpha_mean - 0.234) / i1
-                else:
-                    sigma = jnp.abs(st.sigma + (alpha_mean - 0.234) / i1)
                 mu = st.mu
-
-            # plateau metric: rwm variants include logdetj (mcmc.py:243,561)
-            if kind == "rwm":
-                metric = jnp.mean(logl + logp + logdetj)
+        else:
+            if preconditioned:
+                sigma = st.sigma + (alpha_mean - 0.234) / i1
             else:
-                metric = jnp.mean(logl + logp)
-            improved = metric > st.logp2
-            cnt = jnp.where(improved, 0, st.cnt + 1)
-            logp2 = jnp.maximum(st.logp2, metric)
+                sigma = jnp.abs(st.sigma + (alpha_mean - 0.234) / i1)
+            mu = st.mu
 
-            return SweepState(u, x, logdetj, logl, logp, theta, ldjf,
-                              sigma, mu, st.i + 1, cnt, logp2, calls,
-                              alpha_mean, key)
+        # plateau metric: rwm variants include logdetj (mcmc.py:243,561)
+        if kind == "rwm":
+            metric = jnp.mean(logl + logp + logdetj)
+        else:
+            metric = jnp.mean(logl + logp)
+        improved = metric > st.logp2
+        cnt = jnp.where(improved, 0, st.cnt + 1)
+        logp2 = jnp.maximum(st.logp2, metric)
 
-        return body
+        new_st = SweepState(u, x, logdetj, logl, logp, theta, ldjf,
+                            sigma, mu, st.i + 1, cnt, logp2, calls,
+                            alpha_mean, prop["key"])
+        return new_st, accept
+
+    def body(st: SweepState) -> SweepState:
+        prop = propose(st, body.beta, body.geom, body.flow_params)
+        logl_p = log_like(prop["x_safe"], prop["finite"])
+        new_st, _ = accept_update(st, prop, logl_p, body.beta, body.geom)
+        return new_st
 
     def cond(st: SweepState) -> jnp.ndarray:
         ratio = sqrt_d_scale / st.sigma
@@ -226,8 +246,15 @@ def make_sweep(
         keep = (st.cnt < thresh) & (st.i < n_max)
         return (st.i == 0) | keep
 
-    @partial(jax.jit, static_argnames=())
-    def sweep(u, x, logdetj, logl, logp, beta, sigma0, geom, key, flow_params=None):
+    def should_continue(i, cnt, sigma) -> bool:
+        """Host-side copy of `cond` for the stepped driver."""
+        ratio = sqrt_d_scale / sigma
+        if kind == "rwm" and preconditioned:
+            ratio = min(1.0, ratio)
+        return (i == 0) or (cnt < n_steps * ratio**2 and i < n_max)
+
+    def init_state(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
+                   flow_params=None):
         n = u.shape[0]
         dtype = u.dtype
         if preconditioned:
@@ -246,20 +273,38 @@ def make_sweep(
         if kind == "rwm":
             metric0 = jnp.mean(logl + logp + logdetj)
 
-        init = SweepState(
+        return SweepState(
             u=u, x=x, logdetj=logdetj, logl=logl, logp=logp,
             theta=theta0, logdetj_flow=ldjf0,
             sigma=jnp.asarray(sigma0, dtype), mu=mu0.astype(dtype),
             i=jnp.asarray(0, jnp.int32), cnt=jnp.asarray(0, jnp.int32),
-            logp2=metric0, calls=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+            logp2=metric0,
+            calls=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
             accept=jnp.asarray(0.0, dtype), key=key,
         )
-        body = body_factory(beta, geom, flow_params)
-        final = jax.lax.while_loop(cond, body, init)
+
+    def _results(final: SweepState):
         return dict(u=final.u, x=final.x, logdetj=final.logdetj,
                     logl=final.logl, logp=final.logp,
                     efficiency=final.sigma, accept=final.accept,
                     steps=final.i, calls=final.calls,
                     proposal_scale=final.sigma)
 
+    @jax.jit
+    def sweep(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
+              flow_params=None):
+        init = init_state(u, x, logdetj, logl, logp, beta, sigma0, geom,
+                          key, flow_params)
+        body.beta, body.geom, body.flow_params = beta, geom, flow_params
+        final = jax.lax.while_loop(cond, body, init)
+        return _results(final)
+
+    # stepped-mode handles (host drives the loop; likelihood runs on host
+    # BETWEEN these two jitted halves — required where the backend lacks
+    # host callbacks, and for blob tracking through accept/reject)
+    sweep.init_state = jax.jit(init_state)
+    sweep.propose = jax.jit(propose)
+    sweep.accept_update = jax.jit(accept_update)
+    sweep.should_continue = should_continue
+    sweep.results = _results
     return sweep

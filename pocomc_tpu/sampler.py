@@ -21,17 +21,18 @@ TPU-native architecture:
     physically shrinking arrays where static shapes matter, an equivalent
     estimator.
 
-Deviation (documented): with blobs, the reference tracks blob values
-through every MCMC accept/reject (mcmc.py:113-149). Here the jitted sweep
-tracks log-likelihoods only and blobs are recomputed once per iteration at
-the final accepted positions — identical values for deterministic
-likelihoods at n_active extra calls per iteration.
+Sweep execution modes: with a JAX-traceable likelihood (or a backend that
+supports host callbacks) the whole adaptive sweep is one fused
+lax.while_loop program; otherwise — and always when blobs are tracked —
+the host drives the loop between jitted propose/accept halves, preserving
+the reference's exact blob accept/reject semantics (mcmc.py:113-149).
 """
 
 from __future__ import annotations
 
 import math
 import pickle
+from functools import partial
 from pathlib import Path
 import os
 
@@ -62,6 +63,27 @@ def _is_traceable(fn, example_shape, expect_shape=None):
         return False
 
 
+_CALLBACK_SUPPORT = None
+
+
+def callbacks_supported() -> bool:
+    """True if the default backend can run jax.pure_callback (the axon
+    remote-TPU plugin cannot; real TPU/CPU/GPU backends can)."""
+    global _CALLBACK_SUPPORT
+    if _CALLBACK_SUPPORT is None:
+        def host(a):
+            return np.asarray(a)
+
+        try:
+            fn = jax.jit(lambda x: jax.pure_callback(
+                host, jax.ShapeDtypeStruct((), jnp.float32), x))
+            jax.block_until_ready(fn(jnp.float32(1.0)))
+            _CALLBACK_SUPPORT = True
+        except Exception:
+            _CALLBACK_SUPPORT = False
+    return _CALLBACK_SUPPORT
+
+
 def make_logprior_device(prior, n: int):
     """Device-usable log-prior: traced if possible, else pure_callback."""
     if getattr(prior, "traceable", False):
@@ -76,6 +98,16 @@ def make_logprior_device(prior, n: int):
         return jax.pure_callback(host, jax.ShapeDtypeStruct((x.shape[0],), jnp.float32), x)
 
     return device
+
+
+@partial(jax.jit, static_argnames=("n_boot",))
+def _bootstrap_dlogz(logw, key, n_boot):
+    """Std of bootstrap-resampled logsumexp(logw) - log n (device)."""
+    n = logw.shape[0]
+    idx = jax.random.randint(key, (n_boot, n), 0, n)
+    bs = logw[idx]
+    lz = jax.scipy.special.logsumexp(bs, axis=1) - jnp.log(n)
+    return jnp.std(lz)
 
 
 class Sampler:
@@ -169,8 +201,9 @@ class Sampler:
         if pool is None:
             self.distribute = map
         elif isinstance(pool, int) and pool > 1:
-            from multiprocessing import Pool as _MpPool
-            self.pool = _MpPool(pool)
+            # spawn context: fork after JAX initialization deadlocks
+            import multiprocessing as _mp
+            self.pool = _mp.get_context("spawn").Pool(pool)
             self.distribute = self.pool.map
         else:
             self.distribute = pool.map
@@ -276,6 +309,17 @@ class Sampler:
         else:
             loglike_dev = make_loglike_device(self._host_like_raw, True, False)
             self._loglike_host_jit = None
+
+        # Sweep execution mode: the fully-fused lax.while_loop needs either
+        # a traced likelihood or a backend with host-callback support;
+        # blob tracking through accept/reject always uses the stepped mode
+        # (host drives the loop between jitted propose/accept halves).
+        if self.have_blobs:
+            self._sweep_mode = "stepped"
+        elif like_traceable or callbacks_supported():
+            self._sweep_mode = "fused"
+        else:
+            self._sweep_mode = "stepped"
 
         logprior_dev = make_logprior_device(self.prior, n)
         self._logprior_dev = logprior_dev
@@ -518,6 +562,53 @@ class Sampler:
         return (np.concatenate([u, u[idx]], axis=0),
                 np.concatenate([w, np.zeros(n_bucket - n, dtype=w.dtype)]))
 
+    def _run_stepped_sweep(self, sweep, args, flow_params, blobs):
+        """Host-driven MCMC sweep: the likelihood (and blobs) are evaluated
+        on host between the jitted propose/accept halves. Used when the
+        backend lacks host callbacks or when blobs must be tracked through
+        every accept/reject (reference mcmc.py:113-149 semantics)."""
+        u, x, logdetj, logl, logp, beta, sigma0, geom, key = args
+        st = sweep.init_state(u, x, logdetj, logl, logp, beta, sigma0, geom,
+                              flow_params=flow_params, key=key)
+        n = self.n_active
+        if blobs is not None:
+            blobs = blobs.copy()
+        calls = 0
+        while True:
+            prop = sweep.propose(st, beta, geom, flow_params)
+            finite = np.asarray(jax.device_get(prop["finite"]))
+            logl_p = np.full(n, -np.inf)
+            blobs_p = None
+            if finite.any():
+                x_masked = np.asarray(
+                    jax.device_get(prop["x_safe"]), dtype=np.float64)[finite]
+                ll, bl = self._log_like(x_masked)
+                logl_p[finite] = ll
+                if self.have_blobs and bl is not None:
+                    if blobs is None:
+                        blobs = np.empty(n, dtype=bl.dtype)
+                        blobs[:] = bl[0]
+                    blobs_p = blobs.copy()
+                    blobs_p[finite] = bl
+            calls += int(finite.sum())
+            st, accept = sweep.accept_update(
+                st, prop, jnp.asarray(logl_p, dtype=jnp.float32), beta, geom)
+            if blobs_p is not None:
+                acc = np.asarray(jax.device_get(accept))
+                blobs[acc] = blobs_p[acc]
+            i = int(st.i)
+            cnt = int(st.cnt)
+            sigma = float(st.sigma)
+            if self.pbar is not None:
+                self.pbar.update_stats(dict(
+                    calls=self.calls + calls, acc=float(st.accept), steps=i))
+            if not sweep.should_continue(i, cnt, sigma):
+                break
+        results = sweep.results(st)
+        results = dict(results)
+        results["calls"] = calls
+        return results, blobs
+
     def _train(self, current_particles):
         u = current_particles["u"]
         w = current_particles["weights"]
@@ -585,10 +676,15 @@ class Sampler:
                 shard(current_particles["logp"]),
                 jnp.float32(current_particles["beta"]),
                 jnp.float32(self.proposal_scale), geom, self._next_key())
-        if self.preconditioned:
-            results = self._sweep_precond(*args, flow_params=flow_params)
+        sweep = self._sweep_precond if self.preconditioned else self._sweep_plain
+        stepped = self._sweep_mode == "stepped" or self.have_blobs
+        if stepped:
+            results, blobs = self._run_stepped_sweep(
+                sweep, args, flow_params, current_particles.get("blobs"))
+        elif self.preconditioned:
+            results = sweep(*args, flow_params=flow_params)
         else:
-            results = self._sweep_plain(*args)
+            results = sweep(*args)
         results = jax.device_get(results)
 
         for key in ("u", "x", "logdetj", "logl", "logp"):
@@ -601,12 +697,8 @@ class Sampler:
         self.calls = current_particles["calls"]
         self.proposal_scale = float(results["proposal_scale"])
 
-        if self.have_blobs:
-            # recompute blobs at accepted positions (see module docstring)
-            _, blobs = self._log_like(current_particles["x"])
+        if self.have_blobs and stepped:
             current_particles["blobs"] = blobs
-            self.calls += self.n_active
-            current_particles["calls"] = self.calls
 
         self.pbar.update_stats(dict(
             calls=self.calls, acc=current_particles["accept"],
@@ -642,12 +734,12 @@ class Sampler:
         n_w = len(logw)
         logz = m + np.log(np.sum(np.exp(logw - m))) - np.log(n_w)
 
+        # bootstrap error on device (an (n_boot, n_w) gather + logsumexp is
+        # milliseconds there vs seconds of host f64 on one core); the
+        # weights are max-normalized first so f32 is ample
         n_boot = max(n, 1000)
-        idx = self._rng.integers(0, n_w, size=(n_boot, n_w))
-        bs = logw[idx]
-        mb = bs.max(axis=1, keepdims=True)
-        logz_boot = mb[:, 0] + np.log(np.sum(np.exp(bs - mb), axis=1)) - np.log(n_w)
-        dlogz = float(np.std(logz_boot))
+        dlogz = float(jax.device_get(_bootstrap_dlogz(
+            jnp.asarray(logw - m, dtype=jnp.float32), self._next_key(), n_boot)))
 
         self.calls += n_w
         self.pbar.update_stats(dict(calls=self.calls))
