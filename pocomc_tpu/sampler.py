@@ -843,6 +843,52 @@ class Sampler:
                 for k, v in state[name].items():
                     setattr(g, k, None if v is None else jnp.asarray(v))
 
+    # Pickling the Sampler object itself (reference sampler.py:922-939
+    # supports this via __getstate__ dropping the pool): jitted programs
+    # and pools are dropped and rebuilt on unpickling. The likelihood and
+    # prior must themselves be picklable.
+    _UNPICKLABLE = ("_sweep_plain", "_sweep_precond", "_scaler_forward",
+                    "_scaler_inverse", "_loglike_host_jit", "_logprior_dev",
+                    "_logprior_host", "_like_batch_fn", "pool", "distribute",
+                    "pbar", "flow", "scaler", "mesh", "_key", "_rng",
+                    "u_geometry", "theta_geometry")
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_runtime_state"] = self.state_dict()
+        for k in self._UNPICKLABLE:
+            state.pop(k, None)
+        state["_flow_config"] = (self.flow.n_dim,
+                                 f"{self.flow.kind}{self.flow.n_transforms}",
+                                 self.flow.bins)
+        state["_scaler_config"] = dict(
+            n_dim=self.scaler.n_dim,
+            bounds=np.stack([np.asarray(self.scaler.low),
+                             np.asarray(self.scaler.high)], axis=1),
+            periodic=self.scaler.periodic,
+            reflective=self.scaler.reflective,
+            transform=self.scaler.transform,
+            scale=self.scaler.scale, diagonal=self.scaler.diagonal)
+        return state
+
+    def __setstate__(self, state):
+        runtime = state.pop("_runtime_state")
+        n_dim, arch, bins = state.pop("_flow_config")
+        scaler_cfg = state.pop("_scaler_config")
+        self.__dict__.update(state)
+        self.pool = None
+        self.distribute = map
+        self.pbar = None
+        self.mesh = None
+        self._rng = np.random.default_rng(0)
+        self._key = jax.random.key(0)
+        self.flow = Flow(n_dim, arch, bins=bins)
+        self.scaler = Reparameterize(**scaler_cfg)
+        self.u_geometry = Geometry()
+        self.theta_geometry = Geometry()
+        self._build_device_fns()
+        self.load_state_dict(runtime)
+
     def save_state(self, path):
         """Atomic checkpoint write (temp + flush + fsync + rename, as the
         reference does for NFS safety at sampler.py:1031-1049)."""

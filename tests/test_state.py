@@ -78,3 +78,18 @@ def test_extend_finished_run(tmp_path):
     logw, _ = s2.particles.compute_logw_and_logz(1.0)
     w = np.exp(logw - logw.max())
     assert pc.effective_sample_size(w) >= 1024 * 0.9
+
+
+def test_sampler_pickle_roundtrip(tmp_path):
+    """Pickling the Sampler object itself (reference __getstate__ parity)
+    and continuing the run after unpickling."""
+    import pickle
+    s = make_sampler(tmp_path)
+    s.run(n_total=256, n_evidence=0, progress=False)
+    s2 = pickle.loads(pickle.dumps(s))
+    assert s2.t == s.t and s2.calls == s.calls
+    lz1 = s.particles.compute_logw_and_logz(1.0)[1]
+    lz2 = s2.particles.compute_logw_and_logz(1.0)[1]
+    assert lz1 == pytest.approx(lz2)
+    s2.run(n_total=512, n_evidence=0, progress=False)
+    assert s2.t > s.t
