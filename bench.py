@@ -18,7 +18,16 @@ import numpy as np
 
 
 def main():
+    import os
     import jax
+    # persistent compile cache: repeated bench invocations skip the cold
+    # XLA compiles (verified working with the axon TPU backend)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from pocomc_tpu.mcmc import make_sweep, make_loglike_device
     from pocomc_tpu.models.flow import Flow

@@ -26,7 +26,6 @@ calls, proposal_scale.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Callable
 
 import numpy as np

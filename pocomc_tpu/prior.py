@@ -21,7 +21,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.scipy import stats as jstats
-from jax.scipy.special import gammaln, erf
 
 
 class BaseDist:

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from .mcmc import make_sweep, make_loglike_device
 from .models.flow import Flow
-from .models.geometry import Geometry, fit_geometry_jax
+from .models.geometry import Geometry
 from .particles import Particles
 from .scaler import Reparameterize
 from .ops.weights import (effective_sample_size, unique_sample_size,
@@ -745,6 +745,13 @@ class Sampler:
         self.pbar.update_stats(dict(calls=self.calls))
         self.logz = float(logz)
         self.logz_err = dlogz
+        if dlogz > 0.5:
+            import warnings
+            warnings.warn(
+                f"Flow importance-sampling evidence has a large bootstrap "
+                f"error ({dlogz:.2f}): the preconditioner likely under-covers "
+                f"the posterior. Consider more flow training epochs, a larger "
+                f"flow, or a bigger n_effective.", RuntimeWarning)
         return self.logz, self.logz_err
 
     def posterior(self, resample=False, return_blobs=False,
