@@ -43,6 +43,8 @@ def _next_pow2(n: int) -> int:
 _ARCHS = {
     "maf3": ("maf", 3), "maf6": ("maf", 6), "maf12": ("maf", 12),
     "nsf3": ("nsf", 3), "nsf6": ("nsf", 6), "nsf12": ("nsf", 12),
+    # coupling-layer spline flows (one-pass inverse; models/coupling.py)
+    "nsfc3": ("nsfc", 3), "nsfc6": ("nsfc", 6), "nsfc12": ("nsfc", 12),
 }
 
 # Module-level cache of compiled program sets, keyed by flow configuration.
@@ -84,25 +86,40 @@ class Flow:
         self.n_params = (tr.AFFINE_N_PARAMS if self.kind == "maf"
                          else tr.rqs_n_params(self.bins))
 
-        # Alternating autoregressive orders (zuko MAF behavior).
-        self.orders = []
-        base = np.arange(self.n_dim)
-        for t in range(self.n_transforms):
-            self.orders.append(base if t % 2 == 0 else base[::-1].copy())
-
         key = jax.random.key(seed)
         keys = jax.random.split(key, self.n_transforms)
         self.params = []
         self.masks = []
-        for t in range(self.n_transforms):
-            p, m = init_made(keys[t], self.n_dim, self.hidden_sizes,
-                             self.n_params, self.orders[t])
-            self.params.append(p)
-            self.masks.append(m)
-
-        # inverse scan processes dims in increasing autoregressive degree:
-        # position k updates dim argsort(order)[k]
-        self._inv_dim_order = [np.argsort(o).astype(np.int32) for o in self.orders]
+        if self.kind == "nsfc":
+            if self.n_dim < 2:
+                raise ValueError(
+                    "Coupling flows ('nsfc*') need n_dim >= 2 (the "
+                    "dimensions are split into two halves); use 'maf*' or "
+                    "'nsf*' for 1-D problems.")
+            from .coupling import make_coupling_masks, init_coupling
+            self.coupling_masks = make_coupling_masks(self.n_dim,
+                                                      self.n_transforms)
+            for t in range(self.n_transforms):
+                self.params.append(init_coupling(
+                    keys[t], self.n_dim, self.hidden_sizes, self.n_params,
+                    self.coupling_masks[t]))
+            self.orders = []
+            self._inv_dim_order = []
+        else:
+            # Alternating autoregressive orders (zuko MAF behavior).
+            self.orders = []
+            base = np.arange(self.n_dim)
+            for t in range(self.n_transforms):
+                self.orders.append(base if t % 2 == 0 else base[::-1].copy())
+            for t in range(self.n_transforms):
+                p, m = init_made(keys[t], self.n_dim, self.hidden_sizes,
+                                 self.n_params, self.orders[t])
+                self.params.append(p)
+                self.masks.append(m)
+            # inverse scan processes dims in increasing autoregressive
+            # degree: position k updates dim argsort(order)[k]
+            self._inv_dim_order = [np.argsort(o).astype(np.int32)
+                                   for o in self.orders]
 
         self._config_key = (self.n_dim, self.kind, self.n_transforms,
                             self.bins, tuple(self.hidden_sizes),
@@ -147,6 +164,29 @@ class Flow:
         n_dim, n_params = self.n_dim, self.n_params
         masks = self.masks
         inv_orders = [jnp.asarray(o) for o in self._inv_dim_order]
+
+        if self.kind == "nsfc":
+            from .coupling import coupling_forward, coupling_inverse
+            cmasks = self.coupling_masks
+            bins = self.bins
+            n_transforms = self.n_transforms
+
+            def forward(params, x):
+                ladj = jnp.zeros(x.shape[0], x.dtype)
+                for t in range(n_transforms):
+                    x, l = coupling_forward(params[t], cmasks[t], x, bins)
+                    ladj = ladj + l
+                return x, ladj
+
+            def inverse(params, z):
+                ladj = jnp.zeros(z.shape[0], z.dtype)
+                for t in reversed(range(n_transforms)):
+                    z, l = coupling_inverse(params[t], cmasks[t], z, bins)
+                    ladj = ladj + l
+                return z, ladj
+
+            self._finalize_fns(forward, inverse)
+            return
 
         if self.use_pallas:
             from ..ops.pallas_kernels import make_made_apply
@@ -198,6 +238,12 @@ class Flow:
                 z, l = transform_inverse(t, params[t], z, inv_orders[t])
                 ladj = ladj + l
             return z, ladj
+
+        self._finalize_fns(forward, inverse)
+
+    def _finalize_fns(self, forward, inverse):
+        """Shared density / sampling / jit / kernel-contract wrappers."""
+        n_dim = self.n_dim
 
         def log_prob(params, x):
             z, ladj = forward(params, x)

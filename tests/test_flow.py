@@ -15,7 +15,7 @@ def make_data(n=128, d=4, seed=0):
     return jnp.asarray(rng.normal(size=(n, d)), dtype=jnp.float32)
 
 
-@pytest.mark.parametrize("arch", ["maf3", "nsf3"])
+@pytest.mark.parametrize("arch", ["maf3", "nsf3", "nsfc3"])
 class TestBijection:
     def test_forward_shapes_finite(self, arch):
         x = make_data()
