@@ -111,3 +111,24 @@ class TestBoundedPrior:
         assert abs(logz - (-2 * np.log(10))) < 0.3
         x, w, _, _ = s.posterior()
         assert (np.abs(x) <= 5).all()
+
+    def test_preconditioned_rwm(self):
+        """The preconditioned random-walk kernel (the 4th kernel variant,
+        reference mcmc.py:185-341) must also recover the analytic logZ."""
+        s = pc.Sampler(make_prior(), gaussian_loglike, vectorize=True,
+                       random_state=0, n_effective=256, n_active=128,
+                       precondition=True, sample="rwm", flow="nsf3",
+                       train_config={"epochs": 30, "patience": 5})
+        s.run(n_total=512, n_evidence=1024, progress=False)
+        logz, err = s.evidence()
+        assert abs(logz - analytic_logz()) < max(4 * err, 0.2)
+
+    def test_coupling_flow_sampler(self):
+        """nsfc coupling flow as the preconditioner."""
+        s = pc.Sampler(make_prior(), gaussian_loglike, vectorize=True,
+                       random_state=0, n_effective=256, n_active=128,
+                       precondition=True, flow="nsfc6",
+                       train_config={"epochs": 30, "patience": 5})
+        s.run(n_total=512, n_evidence=1024, progress=False)
+        logz, err = s.evidence()
+        assert abs(logz - analytic_logz()) < max(4 * err, 0.2)
