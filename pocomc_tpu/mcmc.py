@@ -171,7 +171,10 @@ def make_sweep(
 
     def accept_update(st: SweepState, prop, logl_p, beta, geom) -> tuple:
         """Metropolis accept + diminishing adaptation + plateau counters.
-        Returns (new_state, accept_mask)."""
+        Returns (new_state, accept_mask, packed_stats) where packed_stats
+        = [i, cnt, sigma, mean_alpha] as one f32 vector so the stepped
+        host driver syncs ONE transfer per step instead of four scalar
+        pulls (each a full round trip on a high-latency link)."""
         nu = geom.get("t_nu")
         n = st.u.shape[0]
         i1 = (st.i + 1).astype(st.sigma.dtype)
@@ -229,13 +232,9 @@ def make_sweep(
         new_st = SweepState(u, x, logdetj, logl, logp, theta, ldjf,
                             sigma, mu, st.i + 1, cnt, logp2, calls,
                             alpha_mean, prop["key"])
-        return new_st, accept
-
-    def body(st: SweepState) -> SweepState:
-        prop = propose(st, body.beta, body.geom, body.flow_params)
-        logl_p = log_like(prop["x_safe"], prop["finite"])
-        new_st, _ = accept_update(st, prop, logl_p, body.beta, body.geom)
-        return new_st
+        stats = jnp.stack([new_st.i.astype(sigma.dtype),
+                           cnt.astype(sigma.dtype), sigma, alpha_mean])
+        return new_st, accept, stats
 
     def cond(st: SweepState) -> jnp.ndarray:
         ratio = sqrt_d_scale / st.sigma
@@ -294,7 +293,13 @@ def make_sweep(
               flow_params=None):
         init = init_state(u, x, logdetj, logl, logp, beta, sigma0, geom,
                           key, flow_params)
-        body.beta, body.geom, body.flow_params = beta, geom, flow_params
+
+        def body(st: SweepState) -> SweepState:
+            prop = propose(st, beta, geom, flow_params)
+            logl_p = log_like(prop["x_safe"], prop["finite"])
+            new_st, _, _ = accept_update(st, prop, logl_p, beta, geom)
+            return new_st
+
         final = jax.lax.while_loop(cond, body, init)
         return _results(final)
 

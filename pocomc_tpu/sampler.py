@@ -576,12 +576,13 @@ class Sampler:
         calls = 0
         while True:
             prop = sweep.propose(st, beta, geom, flow_params)
-            finite = np.asarray(jax.device_get(prop["finite"]))
+            # one batched pull for the proposal instead of two scalar syncs
+            finite, x_safe = jax.device_get((prop["finite"], prop["x_safe"]))
+            finite = np.asarray(finite)
             logl_p = np.full(n, -np.inf)
             blobs_p = None
             if finite.any():
-                x_masked = np.asarray(
-                    jax.device_get(prop["x_safe"]), dtype=np.float64)[finite]
+                x_masked = np.asarray(x_safe, dtype=np.float64)[finite]
                 ll, bl = self._log_like(x_masked)
                 logl_p[finite] = ll
                 if self.have_blobs and bl is not None:
@@ -591,17 +592,18 @@ class Sampler:
                     blobs_p = blobs.copy()
                     blobs_p[finite] = bl
             calls += int(finite.sum())
-            st, accept = sweep.accept_update(
+            st, accept, stats = sweep.accept_update(
                 st, prop, jnp.asarray(logl_p, dtype=jnp.float32), beta, geom)
             if blobs_p is not None:
                 acc = np.asarray(jax.device_get(accept))
                 blobs[acc] = blobs_p[acc]
-            i = int(st.i)
-            cnt = int(st.cnt)
-            sigma = float(st.sigma)
+            # packed [i, cnt, sigma, mean_alpha]: ONE transfer per step
+            # (reference shows these live per step at mcmc.py:159-167)
+            stats = np.asarray(jax.device_get(stats), dtype=np.float64)
+            i, cnt, sigma = int(stats[0]), int(stats[1]), float(stats[2])
             if self.pbar is not None:
                 self.pbar.update_stats(dict(
-                    calls=self.calls + calls, acc=float(st.accept), steps=i))
+                    calls=self.calls + calls, acc=float(stats[3]), steps=i))
             if not sweep.should_continue(i, cnt, sigma):
                 break
         results = sweep.results(st)
