@@ -288,9 +288,8 @@ def make_sweep(
                     steps=final.i, calls=final.calls,
                     proposal_scale=final.sigma)
 
-    @jax.jit
-    def sweep(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
-              flow_params=None):
+    def _sweep_impl(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
+                    flow_params=None):
         init = init_state(u, x, logdetj, logl, logp, beta, sigma0, geom,
                           key, flow_params)
 
@@ -302,6 +301,11 @@ def make_sweep(
 
         final = jax.lax.while_loop(cond, body, init)
         return _results(final)
+
+    sweep = jax.jit(_sweep_impl)
+    # unjitted composition handle: the device-resident SMC iteration
+    # (parallel/fused.py) embeds the sweep inside a larger jitted program
+    sweep.raw = _sweep_impl
 
     # stepped-mode handles (host drives the loop; likelihood runs on host
     # BETWEEN these two jitted halves — required where the backend lacks

@@ -35,22 +35,23 @@ def make_coupling_masks(n_dim: int, n_transforms: int):
     return masks
 
 
-def init_coupling(key, n_dim: int, hidden_sizes, n_params: int,
-                  cond_mask: np.ndarray):
+def init_coupling(rng: np.random.Generator, n_dim: int, hidden_sizes,
+                  n_params: int, cond_mask: np.ndarray):
     """Plain MLP from the conditioning dims to the transformed dims'
-    parameter block; zero-init output layer for an identity start."""
+    parameter block; zero-init output layer for an identity start.
+    Host-numpy init (see models/made.py init_made)."""
     n_cond = int(cond_mask.sum())
     n_out = int((~cond_mask).sum()) * n_params
     sizes = [max(n_cond, 1)] + list(hidden_sizes) + [n_out]
     params = []
-    keys = jax.random.split(key, len(sizes) - 1)
-    for l, k in enumerate(keys):
+    for l in range(len(sizes) - 1):
         fan_in, fan_out = sizes[l], sizes[l + 1]
         if l == len(sizes) - 2:
-            w = jnp.zeros((fan_in, fan_out))
+            w = np.zeros((fan_in, fan_out), np.float32)
         else:
-            w = np.sqrt(2.0 / fan_in) * jax.random.normal(k, (fan_in, fan_out))
-        params.append({"w": w, "b": jnp.zeros(fan_out)})
+            w = (np.sqrt(2.0 / fan_in)
+                 * rng.standard_normal((fan_in, fan_out))).astype(np.float32)
+        params.append({"w": w, "b": np.zeros(fan_out, np.float32)})
     return params
 
 

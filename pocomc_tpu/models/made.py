@@ -48,23 +48,29 @@ def make_masks(degs, n_dim: int, n_params: int):
     return masks
 
 
-def init_made(key, n_dim: int, hidden_sizes: list[int], n_params: int, order: np.ndarray):
-    """Initialize MADE parameters; returns (params_pytree, static_masks)."""
+def init_made(rng: np.random.Generator, n_dim: int, hidden_sizes: list[int],
+              n_params: int, order: np.ndarray):
+    """Initialize MADE parameters; returns (params_pytree, static_masks).
+
+    Initialization runs in host numpy (a np.random.Generator, not a JAX
+    key): eager per-layer jax.random calls each cost a device round trip,
+    which dominates constructor time behind a remote-accelerator link.
+    The caller device_puts the finished pytree once.
+    """
     degs = make_degrees(n_dim, order, hidden_sizes)
     masks = make_masks(degs, n_dim, n_params)
     sizes = [n_dim] + list(hidden_sizes) + [n_dim * n_params]
 
     params = []
-    keys = jax.random.split(key, len(masks))
-    for l, (m, k) in enumerate(zip(masks, keys)):
+    for l, m in enumerate(masks):
         fan_in, fan_out = sizes[l], sizes[l + 1]
         if l == len(masks) - 1:
-            w = jnp.zeros((fan_in, fan_out))  # identity start
+            w = np.zeros((fan_in, fan_out), np.float32)  # identity start
         else:
             scale = np.sqrt(2.0 / fan_in)
-            w = scale * jax.random.normal(k, (fan_in, fan_out))
-        params.append({"w": w, "b": jnp.zeros(fan_out)})
-    return params, [jnp.asarray(m) for m in masks]
+            w = (scale * rng.standard_normal((fan_in, fan_out))).astype(np.float32)
+        params.append({"w": w, "b": np.zeros(fan_out, np.float32)})
+    return params, [np.asarray(m, np.float32) for m in masks]
 
 
 def _hidden_stack(params, masks, x):

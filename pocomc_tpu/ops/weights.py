@@ -216,11 +216,62 @@ def ess_jax(weights: jnp.ndarray) -> jnp.ndarray:
     return 1.0 / jnp.sum(w * w)
 
 
-def uss_jax(weights: jnp.ndarray, k: int | None = None) -> jnp.ndarray:
+def uss_jax(weights: jnp.ndarray, k=None) -> jnp.ndarray:
+    """Expected unique count after a k-sized multinomial draw; `k` may be a
+    traced scalar (device mirror of unique_sample_size)."""
     if k is None:
         k = weights.shape[0]
     w = weights / jnp.sum(weights)
     return jnp.sum(1.0 - (1.0 - w) ** k)
+
+
+def trim_weights_jax(w: jnp.ndarray, valid: jnp.ndarray,
+                     ess: float = 0.99, bins: int = 1000) -> jnp.ndarray:
+    """Masked fixed-shape mirror of `trim_weights`: zero out the largest
+    percentile weight-threshold set whose survivors keep trimmed ESS >=
+    ess * total ESS, and renormalize. `valid` marks real entries (padding
+    slots carry weight 0 and never survive).
+
+    Same estimator as the host version (reference tools.py:10-53) with
+    weight zeroing instead of physical removal, so shapes stay static for
+    the device-resident SMC loop.
+    """
+    S = w.shape[0]
+    n_valid = jnp.sum(valid)
+    w = jnp.where(valid, w, 0.0)
+    w = w / jnp.sum(w)
+    ess_total = 1.0 / jnp.sum(w * w)
+
+    # percentile grid over VALID entries: invalid -> -inf so the valid
+    # region of the ascending sort is [S - n_valid, S); linear
+    # interpolation matches np.percentile
+    w_asc = jnp.sort(jnp.where(valid, w, -jnp.inf))
+    pos = jnp.linspace(0.0, 99.0, bins) / 100.0 * (n_valid - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo
+    base = (S - n_valid).astype(jnp.int32)
+    thresholds = (w_asc[base + lo] * (1.0 - frac) + w_asc[base + hi] * frac)
+
+    # ESS of the top-k set for every k (descending prefix sums); invalid
+    # zeros sort last and never enter a surviving prefix
+    w_desc = jnp.sort(w)[::-1]
+    csum = jnp.cumsum(w_desc)
+    csq = jnp.cumsum(w_desc * w_desc)
+    ess_k = (csum * csum) / jnp.maximum(csq, 1e-38)
+
+    # k(thr) = #weights >= thr (invalid are -inf in w_asc, always below)
+    k_of_thr = S - jnp.searchsorted(w_asc, thresholds, side="left")
+    k_of_thr = jnp.clip(k_of_thr, 1, n_valid.astype(jnp.int32))
+    ok = ess_k[k_of_thr - 1] / ess_total >= ess
+
+    # largest valid threshold (reference scans top percentile downwards)
+    idx = jnp.max(jnp.where(ok, jnp.arange(bins), -1))
+    thr = jnp.where(idx >= 0, thresholds[jnp.maximum(idx, 0)], thresholds[0])
+
+    mask = (w >= thr) & valid
+    w_out = jnp.where(mask, w, 0.0)
+    return w_out / jnp.sum(w_out)
 
 
 def compute_logw_and_logz_jax(

@@ -1,33 +1,48 @@
-"""Experimental: one full SMC iteration as a single device program over a
-device-resident particle history.
+"""Device-resident SMC engine: each phase of a Preconditioned Monte Carlo
+iteration is ONE jitted device program over a fixed-shape particle history.
 
-The production Sampler orchestrates iterations from the host (a handful of
-dispatches each — fine for locally-attached accelerators). This module is
-the foundation for a zero-host-round-trip mode: the persistent-sampling
-history lives on device in fixed-shape buffers (T_max slots, validity by
-count), and ONE jitted call performs
+Motivation (measured on the v5e tunnel, round 2): a host<->device
+interaction costs ~10-40 ms while the marginal device cost of a flow-
+training epoch is ~0.2 ms — wall-clock is interaction-bound, not
+compute-bound. The host-orchestrated Sampler performs ~20 interactions per
+SMC iteration; this engine reduces an iteration to three dispatches and a
+single blocking sync:
 
-  reweight (ESS bisection over the full history, on device)
-  -> resample (systematic, from the flat masked history weights)
-  -> geometry fit (weighted moments + Student-t EM)
-  -> mutate (fused adaptive t-pCN/RWM sweep)
-  -> history write (dynamic slot update)
+  A. reweight  : ESS/USS temperature bisection over the full history,
+                 weight trimming (masked), dynamic-n_effective update,
+                 top-K training-set selection              (one dispatch)
+  B. train     : the whole flow fit (epoch while_loop, optimizer init,
+                 early stopping, best-params tracking) plus the weighted
+                 Student-t proposal-geometry fit            (one dispatch)
+  C. mutate    : resample from the flat history weights, adaptive MCMC
+                 sweep, history write, termination statistics
+                                                            (one dispatch)
 
-Everything shards over the particle mesh; the only collectives are
-reductions. Flow training stays a separate call (its cadence is a host
-decision). Exercised by __graft_entry__.dryrun_multichip; scheduled for
-Sampler integration in round 2 (ROADMAP.md #1).
+The persistent-sampling history lives on device in fixed-shape buffers
+(T_max slots of n_active particles; validity by count) so no program ever
+recompiles as the run grows. RNG enters as uint32 seeds folded into keys
+inside the programs — the host never issues eager device ops.
+
+Everything shards over the particle mesh (inputs carry shardings; XLA
+inserts psum/all-gather collectives for the reductions, top_k and
+resampling gathers). The reference's host loop being replaced:
+/root/reference/pocomc/sampler.py:492-510 with phases at :550-805.
 """
 
 from __future__ import annotations
 
+import math
+from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
+import optax
 
-from ..ops.weights import compute_logw_and_logz_jax, ess_jax
-from ..ops.resampling import systematic_resample_jax
+from ..ops.weights import (compute_logw_and_logz_jax, ess_jax, uss_jax,
+                           trim_weights_jax)
+from ..ops.resampling import systematic_resample_jax, multinomial_resample_jax
 from ..models.geometry import _fit_geometry_impl
 
 
@@ -52,11 +67,44 @@ def init_history(t_max: int, n: int, d: int, dtype=jnp.float32) -> DeviceHistory
                          t=jnp.asarray(0, jnp.int32))
 
 
+def history_from_numpy(u, x, logdetj, logl, logp, beta, logz,
+                       t_max: int) -> DeviceHistory:
+    """Build (host-side) padded buffers from stacked (t, n[, d]) history
+    arrays and place them on device in one transfer batch."""
+    t, n = logl.shape
+    d = u.shape[-1]
+    assert t <= t_max
+
+    def pad(a):
+        out = np.zeros((t_max,) + a.shape[1:], np.float32)
+        out[:t] = a
+        return out
+
+    return DeviceHistory(
+        u=jnp.asarray(pad(u)), x=jnp.asarray(pad(x)),
+        logdetj=jnp.asarray(pad(logdetj)), logl=jnp.asarray(pad(logl)),
+        logp=jnp.asarray(pad(logp)),
+        beta=jnp.asarray(pad(beta.reshape(t, 1))[:, 0]),
+        logz=jnp.asarray(pad(logz.reshape(t, 1))[:, 0]),
+        t=jnp.asarray(t, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("t_max",))
+def grow_history(hist: DeviceHistory, t_max: int) -> DeviceHistory:
+    """Double the slot capacity (rare; one recompile of the programs)."""
+    old = hist.u.shape[0]
+    pad2 = lambda a: jnp.concatenate(
+        [a, jnp.zeros((t_max - old,) + a.shape[1:], a.dtype)], axis=0)
+    return DeviceHistory(u=pad2(hist.u), x=pad2(hist.x),
+                         logdetj=pad2(hist.logdetj), logl=pad2(hist.logl),
+                         logp=pad2(hist.logp), beta=pad2(hist.beta),
+                         logz=pad2(hist.logz), t=hist.t)
+
+
 def push_history(hist: DeviceHistory, u, x, logdetj, logl, logp, beta, logz
                  ) -> DeviceHistory:
-    """Write one iteration into slot hist.t (device, fixed shapes). Writes
-    past t_max clamp onto the last slot (size t_max adequately; the
-    counter saturates rather than growing silently)."""
+    """Write one iteration into slot hist.t (device, fixed shapes); the
+    counter saturates at t_max rather than wrapping."""
     t_max = hist.logl.shape[0]
     t = jnp.minimum(hist.t, t_max - 1)
     upd2 = lambda buf, v: jax.lax.dynamic_update_slice(buf, v[None], (t, 0, 0))
@@ -69,88 +117,291 @@ def push_history(hist: DeviceHistory, u, x, logdetj, logl, logp, beta, logz
         t=jnp.minimum(hist.t + 1, t_max))
 
 
-def _valid(hist: DeviceHistory):
-    t_max = hist.logl.shape[0]
-    return jnp.arange(t_max) < hist.t
-
-
-def bisect_beta_device(hist: DeviceHistory, beta_prev, n_effective,
-                       n_iters: int = 40):
-    """ESS bisection over the device history (mirrors ops.weights
-    .bisect_beta; fixed-count bisection for static control flow)."""
-    valid = _valid(hist)
-
-    def metric_at(beta):
-        logw, logz = compute_logw_and_logz_jax(
-            hist.logl, hist.beta, hist.logz, valid, beta)
-        w = jnp.exp(logw - jnp.max(logw))
-        return logw, ess_jax(jnp.where(jnp.repeat(valid, hist.logl.shape[1]),
-                                       w, 0.0)), logz
-
-    _, m_prev, _ = metric_at(beta_prev)
-    _, m_max, _ = metric_at(jnp.asarray(1.0, hist.beta.dtype))
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        _, m, _ = metric_at(mid)
-        lo = jnp.where(m >= n_effective, mid, lo)
-        hi = jnp.where(m >= n_effective, hi, mid)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, n_iters, body,
-                               (beta_prev, jnp.asarray(1.0, hist.beta.dtype)))
-    beta_bisect = 0.5 * (lo + hi)
-    beta = jnp.where(m_prev <= n_effective, beta_prev,
-                     jnp.where(m_max >= n_effective, 1.0, beta_bisect))
+def _flat_weights_at(hist: DeviceHistory, valid_t, valid_flat, beta):
+    """Normalized flat history weights + incremental logZ at temperature
+    beta (multiple-IS estimator, reference particles.py:215-231)."""
     logw, logz = compute_logw_and_logz_jax(
-        hist.logl, hist.beta, hist.logz, valid, beta)
+        hist.logl, hist.beta, hist.logz, valid_t, beta)
     w = jnp.exp(logw - jnp.max(logw))
-    w = jnp.where(jnp.repeat(valid, hist.logl.shape[1]), w, 0.0)
-    return beta, w / jnp.sum(w), logz
+    w = jnp.where(valid_flat, w, 0.0)
+    return w / jnp.sum(w), logz
 
 
-def make_fused_iteration(sweep, flow, n_active: int, n_effective: float):
-    """Build iteration(hist, sigma0, flow_params, key) -> (hist, results).
+def _metric_of(w, valid_flat, metric: str):
+    if metric == "ess":
+        return ess_jax(w)
+    return uss_jax(w, jnp.sum(valid_flat))
 
-    `sweep` is a mcmc.make_sweep product (preconditioned); `flow` provides
-    the latent map for the geometry fit. Flow training happens OUTSIDE
-    (separate cadence); this program does reweight/resample/geometry/
-    mutate/record in one dispatch.
+
+def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
+                          dynamic: bool = True, dynamic_ratio: float = 1.0,
+                          trim_ess: float = 0.99, trim_bins: int = 1000,
+                          n_bisect: int = 26):
+    """Phase A: temperature selection + trimming + training-set selection.
+
+    Returns reweight(hist, n_effective) -> dict with
+      beta, logz          device scalars (feed phase C)
+      w_flat (S,)         trimmed, renormalized flat history weights
+      u_sel (K, d)        top-K-weight particles (training + geometry set)
+      w_sel (K,)          their renormalized weights
+      stats (5,)          [beta, logz, metric_at_beta, n_eff_next, uss_active]
+
+    Mirrors reference sampler.py:717-805 (bisection branches, dynamic
+    n_effective, trim). Fixed-count bisection replaces the host's
+    tolerance loop — statically shaped, converged far below the host's 1%
+    metric tolerance.
     """
 
-    def iteration(hist: DeviceHistory, sigma0, flow_params, key):
+    def reweight(hist: DeviceHistory, n_effective):
+        T_max, n = hist.logl.shape
+        valid_t = jnp.arange(T_max) < hist.t
+        valid_flat = jnp.repeat(valid_t, n)
+        t_prev = jnp.maximum(hist.t - 1, 0)
+        beta_prev = hist.beta[t_prev]
+        logz_prev = hist.logz[t_prev]
+        one = jnp.asarray(1.0, hist.beta.dtype)
+
+        w_prev, _ = _flat_weights_at(hist, valid_t, valid_flat, beta_prev)
+        m_prev = _metric_of(w_prev, valid_flat, metric)
+        w_one, _ = _flat_weights_at(hist, valid_t, valid_flat, one)
+        m_one = _metric_of(w_one, valid_flat, metric)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            w_mid, _ = _flat_weights_at(hist, valid_t, valid_flat, mid)
+            m = _metric_of(w_mid, valid_flat, metric)
+            pred = m >= n_effective
+            return jnp.where(pred, mid, lo), jnp.where(pred, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, n_bisect, body, (beta_prev, one))
+        beta_bisect = 0.5 * (lo + hi)
+        beta = jnp.where(m_prev <= n_effective, beta_prev,
+                         jnp.where(m_one >= n_effective, one, beta_bisect))
+        w, logz_new = _flat_weights_at(hist, valid_t, valid_flat, beta)
+        m_at = _metric_of(w, valid_flat, metric)
+        # reference keeps the previous running logZ when beta stalls
+        # (sampler.py:752-757 + the host loop's logz carry-over)
+        logz = jnp.where(beta == beta_prev, logz_prev, logz_new)
+
+        # dynamic n_effective (reference sampler.py:783-790); int() = trunc
+        nu_active = uss_jax(w, n_active)
+        if dynamic:
+            low = n_active * (0.95 * dynamic_ratio)
+            high = n_active * min(1.05 * dynamic_ratio, 1.0)
+            n_eff_next = jnp.where(
+                nu_active < low,
+                jnp.trunc(n_active / nu_active * n_effective),
+                jnp.where(nu_active > high,
+                          jnp.trunc(nu_active / n_active * n_effective),
+                          n_effective))
+        else:
+            n_eff_next = n_effective
+
+        w_t = trim_weights_jax(w, valid_flat, ess=trim_ess, bins=trim_bins)
+
+        w_sel, idx = jax.lax.top_k(w_t, n_select)
+        w_sel = w_sel / jnp.sum(w_sel)
+        d = hist.u.shape[-1]
+        u_sel = hist.u.reshape(T_max * n, d)[idx]
+
+        stats = jnp.stack([beta, logz, m_at, n_eff_next, nu_active])
+        return dict(beta=beta, logz=logz, w_flat=w_t, u_sel=u_sel,
+                    w_sel=w_sel, stats=stats)
+
+    return jax.jit(reweight)
+
+
+def make_train_program(flow, n_select: int, batch_size: int,
+                       validation_split: float = 0.5, epochs: int = 5000,
+                       patience: int = 10, learning_rate: float = 1e-3,
+                       weight_decay: float = 0.0, clip_grad_norm: float = 1.0,
+                       laplace_scale=None, gaussian_scale=None):
+    """Phase B: the entire flow fit + weighted geometry fit as ONE program.
+
+    Semantics mirror Flow.fit/models/flow.py (itself mirroring reference
+    flow.py:165-384): shuffled validation split, AdamW with grad-norm
+    clip, per-batch weighted NLL, on-device best-params snapshot, early
+    stop after 1.5*patience stale epochs. The optimizer state is
+    initialized INSIDE the program (the eager optax init used to cost
+    ~100 per-leaf dispatches over the tunnel). Unsupported here (falls
+    back to the host fit): noise injection, LR-plateau annealing.
+
+    Returns train(params, u_sel, w_sel, seed)
+      -> (best_params, geom dict, stats [n_done, best_loss]).
+    """
+    stop_after = int(1.5 * patience)
+    n_train = int(validation_split * n_select) if validation_split > 0 \
+        else n_select
+    use_val = validation_split > 0
+    n_val = n_select - n_train if use_val else 1
+    bs = max(1, min(int(batch_size), n_train))
+    bs = 1 << (bs.bit_length() - 1)
+    n_batches = -(-n_train // bs)
+    n_rows = n_batches * bs  # >= n_train; wrap-padded with zero weights
+    n_dim = flow.n_dim
+
+    tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm),
+                     optax.adamw(learning_rate, weight_decay=weight_decay))
+    loss_fn = partial(flow._loss_fn, laplace_scale=laplace_scale,
+                      gaussian_scale=gaussian_scale)
+
+    def train(params, u_sel, w_sel, seed):
+        key = jax.random.key(seed)
+        k_shuf, k_epochs, k_geom = jax.random.split(key, 3)
+
+        perm = jax.random.permutation(k_shuf, n_select)
+        xs, ws = u_sel[perm], w_sel[perm]
+        wrap = jnp.arange(n_rows) % n_train
+        xt = xs[:n_train][wrap]
+        wt = jnp.where(jnp.arange(n_rows) < n_train, ws[:n_train][wrap], 0.0)
+        if use_val:
+            xv, wv = xs[n_train:], ws[n_train:]
+        else:
+            xv = jnp.zeros((1, n_dim), xs.dtype)
+            wv = jnp.zeros((1,), ws.dtype)
+
+        opt_state = tx.init(params)
+
+        def one_epoch(carry):
+            params, opt_state, key, best_params, best_loss, best_idx, ei = carry
+            key, k_perm = jax.random.split(key)
+            order = jax.random.permutation(k_perm, n_rows)
+            xb = xt[order].reshape(n_batches, bs, n_dim)
+            wb = wt[order].reshape(n_batches, bs)
+
+            def step(c, batch):
+                p, o = c
+                loss, grads = jax.value_and_grad(loss_fn)(p, *batch)
+                updates, o = tx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (xb, wb))
+            train_loss = jnp.sum(losses) / n_train
+            current = (loss_fn(params, xv, wv) / n_val if use_val
+                       else train_loss)
+            improved = current < best_loss
+            best_params = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(improved, a, b), params, best_params)
+            best_loss = jnp.where(improved, current, best_loss)
+            best_idx = jnp.where(improved, ei, best_idx)
+            return (params, opt_state, key, best_params, best_loss,
+                    best_idx, ei + 1)
+
+        def cond(carry):
+            ei, best_idx = carry[6], carry[5]
+            return (ei < epochs) & (ei - 1 - best_idx < stop_after)
+
+        carry0 = (params, opt_state, k_epochs, params,
+                  jnp.asarray(jnp.inf, jnp.float32),
+                  jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+        final = jax.lax.while_loop(cond, one_epoch, carry0)
+        raw_params, best_params, best_loss = final[0], final[3], final[4]
+        n_done = final[6]
+        best_params = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(jnp.isfinite(best_loss), a, b),
+            best_params, raw_params)
+
+        # proposal geometry in flow-latent space on the SAME weighted set
+        # (reference sampler.py:671-672): weighted moments + Student-t EM
+        theta, _ = flow._forward(best_params, u_sel)
+        geom = _fit_geometry_impl(theta, w_sel, k_geom)
+
+        stats = jnp.stack([n_done.astype(jnp.float32), best_loss])
+        return best_params, geom, stats
+
+    return jax.jit(train)
+
+
+def make_geometry_program(flow=None):
+    """Weighted geometry fit alone (used when flow training is skipped in
+    u-space mode; reference sampler.py:674)."""
+
+    def fit(u_sel, w_sel, seed):
+        return _fit_geometry_impl(u_sel, w_sel, jax.random.key(seed))
+
+    return jax.jit(fit)
+
+
+def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
+                        metric: str = "ess", preconditioned: bool = True):
+    """Phase C: resample + adaptive MCMC sweep + history write +
+    termination statistics, one dispatch.
+
+    `sweep_raw` is the unjitted make_sweep product. For preconditioned
+    runs `geom` comes from phase B; for plain runs it is fitted here on
+    (u_sel, w_sel) each iteration (reference trains u_geometry every
+    iteration in the else branch of sampler.py:636-678).
+
+    Returns mutate(hist, beta, logz, w_flat, u_sel, w_sel, sigma0, geom,
+    flow_params, seed) -> (hist', stats) with stats =
+    [accept, steps, calls, proposal_scale, metric_at_beta1, mean_logl_logp].
+    """
+    resampler = (multinomial_resample_jax if resample == "mult"
+                 else systematic_resample_jax)
+
+    def mutate(hist: DeviceHistory, beta, logz, w_flat, u_sel, w_sel,
+               sigma0, geom, flow_params, seed):
+        T_max, n, d = hist.u.shape
+        key = jax.random.key(seed)
         k_res, k_geom, k_sweep = jax.random.split(key, 3)
-        t_max, n, d = hist.u.shape
 
-        # 1. reweight: next temperature + flat history weights
-        beta_prev = hist.beta[jnp.maximum(hist.t - 1, 0)]
-        beta, w_flat, logz = bisect_beta_device(hist, beta_prev, n_effective)
+        if not preconditioned:
+            geom = _fit_geometry_impl(u_sel, w_sel, k_geom)
 
-        # 2. resample n_active particles from the flat masked history
-        idx = systematic_resample_jax(k_res, n_active, w_flat)
-        flat2 = lambda a: a.reshape(t_max * n, -1)[idx]
-        flat1 = lambda a: a.reshape(t_max * n)[idx]
-        u = flat2(hist.u).reshape(n_active, d)
-        x = flat2(hist.x).reshape(n_active, d)
-        logdetj = flat1(hist.logdetj)
-        logl = flat1(hist.logl)
-        logp = flat1(hist.logp)
+        idx = resampler(k_res, n_active, w_flat)
+        u = hist.u.reshape(T_max * n, d)[idx]
+        x = hist.x.reshape(T_max * n, d)[idx]
+        logdetj = hist.logdetj.reshape(-1)[idx]
+        logl = hist.logl.reshape(-1)[idx]
+        logp = hist.logp.reshape(-1)[idx]
 
-        # 3. proposal geometry in flow-latent space (weights uniform after
-        #    resampling)
-        theta, _ = flow._forward(flow_params, u)
-        geom = _fit_geometry_impl(theta, None, k_geom)
+        res = sweep_raw(u, x, logdetj, logl, logp, beta, sigma0, geom,
+                        k_sweep, flow_params=flow_params)
 
-        # 4. mutate
-        res = sweep(u, x, logdetj, logl, logp, beta, sigma0, geom, k_sweep,
-                    flow_params=flow_params)
-
-        # 5. record
         hist = push_history(hist, res["u"], res["x"], res["logdetj"],
                             res["logl"], res["logp"], beta, logz)
-        return hist, dict(beta=beta, logz=logz, accept=res["accept"],
-                          steps=res["steps"], calls=res["calls"],
-                          proposal_scale=res["proposal_scale"])
+
+        # termination metric: ESS/USS of the full updated history
+        # reweighted to beta=1 (reference sampler.py:526-547)
+        valid_t = jnp.arange(T_max) < hist.t
+        valid_flat = jnp.repeat(valid_t, n)
+        w1, _ = _flat_weights_at(hist, valid_t, valid_flat,
+                                 jnp.asarray(1.0, hist.beta.dtype))
+        m1 = _metric_of(w1, valid_flat, metric)
+
+        stats = jnp.stack([
+            res["accept"], res["steps"].astype(jnp.float32),
+            res["calls"].astype(jnp.float32), res["proposal_scale"],
+            m1, jnp.mean(res["logl"] + res["logp"])])
+        return hist, stats
+
+    return jax.jit(mutate)
+
+
+def make_fused_iteration(sweep, flow, n_active: int, n_effective: float,
+                         n_select: int = None):
+    """One full SMC iteration (A+C with geometry refit) as a single device
+    program — the multichip dry-run / compile-check entry. Production runs
+    use the three-phase split above (training cadence is a host decision).
+    """
+    if n_select is None:
+        n_select = n_active
+    reweight_raw = make_reweight_program(n_select, n_active)
+    mutate_raw = make_mutate_program(sweep.raw, n_active,
+                                     preconditioned=True)
+
+    def iteration(hist: DeviceHistory, sigma0, flow_params, seed):
+        out = reweight_raw(hist, jnp.float32(n_effective))
+        theta, _ = flow._forward(flow_params, out["u_sel"])
+        geom = _fit_geometry_impl(theta, out["w_sel"], jax.random.key(seed))
+        hist, stats = mutate_raw(hist, out["beta"], out["logz"],
+                                 out["w_flat"], out["u_sel"], out["w_sel"],
+                                 sigma0, geom, flow_params, seed + 1)
+        return hist, dict(beta=out["beta"], logz=out["logz"],
+                          accept=stats[0], steps=stats[1].astype(jnp.int32),
+                          calls=stats[2].astype(jnp.int32),
+                          proposal_scale=stats[3])
 
     return jax.jit(iteration)

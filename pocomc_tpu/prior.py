@@ -312,6 +312,11 @@ class Prior:
                     self._jax_dists.append(None)
                     self.traceable = False
 
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_rvs_jit", None)  # jitted sampler, rebuilt lazily
+        return state
+
     @property
     def dim(self):
         return len(self.dists)
@@ -340,14 +345,32 @@ class Prior:
             lp += d.logpdf(x[:, i])
         return lp
 
+    def _sample_jax(self, seed, size):
+        """All JAX-native columns in ONE jitted program (per-dimension
+        eager sampling costs a device round trip per op — 60+ s observed
+        on a congested remote-TPU link for a 10-D prior)."""
+        fn = getattr(self, "_rvs_jit", None)
+        if fn is None:
+            jds = self._jax_dists
+
+            def sample_all(seed, size):
+                keys = jax.random.split(jax.random.key(seed), len(jds))
+                return jnp.stack(
+                    [jd.sample(keys[i], size) if jd is not None
+                     else jnp.zeros(size)
+                     for i, jd in enumerate(jds)], axis=1)
+
+            fn = self._rvs_jit = jax.jit(sample_all,
+                                         static_argnames=("size",))
+        return np.asarray(jax.device_get(fn(np.uint32(seed), size)),
+                          dtype=np.float64)
+
     def rvs(self, size=1, random_state=None):
         """Draw samples (host-side)."""
-        cols = []
         rng = np.random.default_rng(random_state)
-        for d, jd in zip(self.dists, self._jax_dists):
-            if jd is not None:
-                seed = int(rng.integers(0, 2**31 - 1))
-                cols.append(np.asarray(jax.device_get(jd.sample(jax.random.key(seed), size))))
-            else:
-                cols.append(np.asarray(d.rvs(size=size)))
-        return np.stack(cols, axis=1)
+        seed = int(rng.integers(0, 2**31 - 1))
+        out = self._sample_jax(seed, int(size))
+        for i, (d, jd) in enumerate(zip(self.dists, self._jax_dists)):
+            if jd is None:
+                out[:, i] = np.asarray(d.rvs(size=size))
+        return out

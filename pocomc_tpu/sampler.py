@@ -147,6 +147,7 @@ class Sampler:
                  output_label: str = None,
                  random_state: int = None,
                  mesh=None,
+                 device_loop="auto",
                  # accepted for reference API compatibility (no-ops here)
                  pytorch_threads=None,
                  n_ess: int = None,
@@ -280,6 +281,12 @@ class Sampler:
         self.progress = None
         self.pbar = None
 
+        if device_loop not in ("auto", True, False):
+            raise ValueError(
+                f"Invalid device_loop {device_loop!r}. Options are 'auto', "
+                f"True or False.")
+        self.device_loop = device_loop
+
         self._build_device_fns()
 
     # ------------------------------------------------------------------
@@ -339,6 +346,26 @@ class Sampler:
                                          flow_inv=self.flow.kernel_inv, **common)
         self._scaler_forward = jax.jit(lambda x: self.scaler.forward(x))
         self._scaler_inverse = jax.jit(lambda u: self.scaler.inverse(u))
+
+        # Device-resident SMC loop (parallel/fused.py): one dispatch per
+        # phase, one blocking sync per iteration — requires everything in
+        # the iteration (likelihood, prior, flow) to trace.
+        prior_traceable = (getattr(self.prior, "traceable", False)
+                           or logprior_dev is self.prior.logpdf)
+        self._device_loop_ok = (like_traceable and prior_traceable
+                                and not self.have_blobs
+                                and self._sweep_mode == "fused")
+        if self.device_loop is True and not self._device_loop_ok:
+            raise ValueError(
+                "device_loop=True requires a JAX-traceable likelihood and "
+                "prior, no blobs, and a backend able to run the fused "
+                "sweep.")
+        self._prog_cache = {}
+        self._geom_dev = None
+        self._dev_iter_stats = []
+        self._hist_dev = None
+        self._slot_count = 0
+        self._synced_slots = 0
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -434,15 +461,18 @@ class Sampler:
             self._run_warmup(t0, save_every)
             self.warmup = False
 
-        while self._not_termination(self.current_particles):
-            if save_every is not None and (self.t - t0) % int(save_every) == 0 and self.t != t0:
-                self.save_state(self.output_dir / f"{self.output_label}_{self.t}.state")
+        if self._use_device_loop():
+            self._run_device_loop(t0, save_every)
+        else:
+            while self._not_termination(self.current_particles):
+                if save_every is not None and (self.t - t0) % int(save_every) == 0 and self.t != t0:
+                    self.save_state(self.output_dir / f"{self.output_label}_{self.t}.state")
 
-            self.current_particles = self._reweight(self.current_particles)
-            self.current_particles = self._train(self.current_particles)
-            self.current_particles = self._resample(self.current_particles)
-            self.current_particles = self._mutate(self.current_particles)
-            self.particles.update(self.current_particles)
+                self.current_particles = self._reweight(self.current_particles)
+                self.current_particles = self._train(self.current_particles)
+                self.current_particles = self._resample(self.current_particles)
+                self.current_particles = self._mutate(self.current_particles)
+                self.particles.update(self.current_particles)
 
         if self.n_evidence > 0 and self.preconditioned:
             self._compute_evidence(self.n_evidence)
@@ -455,16 +485,40 @@ class Sampler:
         self.pbar.close()
 
     def _run_warmup(self, t0, save_every):
+        # traceable path: ONE device program for the whole prior stage
+        # (scaler forward/inverse + prior + likelihood on all n_prior
+        # rows) instead of ~6 dispatches per batch
+        pre = None
+        if self._use_device_loop():
+            prog = self._prog_cache.get(("WU",))
+            if prog is None:
+                scaler, log_prior = self.scaler, self._logprior_dev
+                like = self._like_batch_fn
+
+                def wu(x):
+                    u = scaler.forward(x)
+                    _, logdetj = scaler.inverse(u)
+                    return u, logdetj, log_prior(x), like(x)
+
+                prog = self._prog_cache[("WU",)] = jax.jit(wu)
+            pre = [np.asarray(a, dtype=np.float64) for a in jax.device_get(
+                prog(jnp.asarray(self.prior_samples, dtype=jnp.float32)))]
+
         for i in range(self.n_prior // self.n_active):
             if save_every is not None and (self.t - t0) % int(save_every) == 0 and self.t != t0:
                 self.save_state(self.output_dir / f"{self.output_label}_{self.t}.state")
-            x = self.prior_samples[i * self.n_active:(i + 1) * self.n_active]
-            u = np.asarray(jax.device_get(self._scaler_forward(jnp.asarray(x, dtype=jnp.float32))),
-                           dtype=np.float64)
-            _, logdetj_d = self._scaler_inverse(jnp.asarray(u, dtype=jnp.float32))
-            logdetj = np.asarray(jax.device_get(logdetj_d), dtype=np.float64)
-            logp = np.asarray(jax.device_get(jnp.asarray(self._logprior_host(jnp.asarray(x, dtype=jnp.float32)))), dtype=np.float64)
-            logl, blobs = self._log_like(x)
+            sl = slice(i * self.n_active, (i + 1) * self.n_active)
+            x = self.prior_samples[sl]
+            if pre is not None:
+                u, logdetj, logp, logl = (a[sl].copy() for a in pre)
+                blobs = None
+            else:
+                u = np.asarray(jax.device_get(self._scaler_forward(jnp.asarray(x, dtype=jnp.float32))),
+                               dtype=np.float64)
+                _, logdetj_d = self._scaler_inverse(jnp.asarray(u, dtype=jnp.float32))
+                logdetj = np.asarray(jax.device_get(logdetj_d), dtype=np.float64)
+                logp = np.asarray(jax.device_get(jnp.asarray(self._logprior_host(jnp.asarray(x, dtype=jnp.float32)))), dtype=np.float64)
+                logl, blobs = self._log_like(x)
             self.calls += self.n_active
 
             # replace infinite-likelihood particles by finite ones
@@ -495,6 +549,219 @@ class Sampler:
                                         logP=float(np.mean(logp + logl))))
             self.pbar.update_iter()
             self.t += 1
+
+    # ------------------------------------------------------------------
+    # device-resident SMC loop (parallel/fused.py)
+    # ------------------------------------------------------------------
+
+    def _use_device_loop(self):
+        """The device loop runs when everything in the iteration traces
+        (likelihood, prior, flow) and the host-only features are off.
+        Each iteration is then 3 dispatches + 1 blocking sync instead of
+        the host path's ~20 device interactions."""
+        if self.device_loop is False or not self._device_loop_ok or self.have_blobs:
+            return False
+        cfg = self.train_config
+        if self.preconditioned and (cfg["annealing"] or cfg["noise"] is not None):
+            return False  # host fit handles these
+        return True
+
+    def _seed32(self):
+        return np.uint32(self._rng.integers(2**31 - 1))
+
+    def _select_bucket(self, t_max, beta_now):
+        """Static top-K training/geometry-set size: pow2 bucket of 4x the
+        current effective support. While beta < 1 that is n_effective;
+        once beta hits 1 the history ESS grows toward n_total (reference
+        keeps the whole trimmed set, sampler.py:792-799), so the bucket
+        jumps straight to 4*n_total — a fixed multiple of n_effective
+        truncates the late-run training set and degrades the flow
+        (measured: logZ bias -0.45 on the quickstart), while tracking the
+        ESS gradually recompiles the programs at every intermediate pow2
+        bucket. Clipped to the flat history size."""
+        k = max(4 * self.n_effective, self.n_active)
+        if beta_now >= 1.0:
+            k = max(k, 4 * int(self.n_total))
+        k = 1 << int(math.ceil(math.log2(k)))
+        return int(min(k, t_max * self.n_active))
+
+    def _device_programs(self, n_select):
+        from .parallel import fused
+        keyA = ("A", n_select)
+        if keyA not in self._prog_cache:
+            self._prog_cache[keyA] = fused.make_reweight_program(
+                n_select, self.n_active, metric=self.metric,
+                dynamic=self.dynamic, dynamic_ratio=self.dynamic_ratio)
+        keyC = ("C",)
+        if keyC not in self._prog_cache:
+            sweep = (self._sweep_precond if self.preconditioned
+                     else self._sweep_plain)
+            self._prog_cache[keyC] = fused.make_mutate_program(
+                sweep.raw, self.n_active, resample=self.resample,
+                metric=self.metric, preconditioned=self.preconditioned)
+        progB = None
+        if self.preconditioned:
+            cfg = self.train_config
+            bs = int(min(n_select // 2, cfg["batch_size"]))
+            keyB = ("B", n_select, bs, cfg["validation_split"],
+                    cfg["epochs"], cfg["patience"], cfg["learning_rate"],
+                    cfg["clip_grad_norm"], cfg["laplace_scale"],
+                    cfg["gaussian_scale"])
+            if keyB not in self._prog_cache:
+                self._prog_cache[keyB] = fused.make_train_program(
+                    self.flow, n_select, bs,
+                    validation_split=cfg["validation_split"],
+                    epochs=cfg["epochs"], patience=cfg["patience"],
+                    learning_rate=cfg["learning_rate"],
+                    clip_grad_norm=cfg["clip_grad_norm"],
+                    laplace_scale=cfg["laplace_scale"],
+                    gaussian_scale=cfg["gaussian_scale"])
+            progB = self._prog_cache[keyB]
+        return self._prog_cache[keyA], progB, self._prog_cache[keyC]
+
+    def _geom_from_host(self):
+        """Rebuild the device geometry dict from the host Geometry mirror
+        (resume path)."""
+        g = self.theta_geometry if self.preconditioned else self.u_geometry
+        if g.t_mean is None:
+            return None
+        return {k: jnp.asarray(v) for k, v in vars(g).items()
+                if v is not None}
+
+    def _run_device_loop(self, t0, save_every):
+        from .parallel import fused
+        d = self.n_dim
+
+        t_cur = self.particles.t
+        t_max = 1 << int(math.ceil(math.log2(max(t_cur + 48, 64))))
+        hist = fused.history_from_numpy(
+            self.particles.get("u"), self.particles.get("x"),
+            self.particles.get("logdetj"), self.particles.get("logl"),
+            self.particles.get("logp"),
+            self.particles.get("beta"), self.particles.get("logz"), t_max)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard2 = NamedSharding(self.mesh.mesh, P(None, "particles"))
+            hist = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, shard2) if a.ndim >= 2 else a,
+                hist)
+        self._hist_dev = hist
+        self._slot_count = t_cur
+        self._synced_slots = t_cur
+        self._dev_iter_stats = []
+
+        if self.preconditioned and self._geom_dev is None:
+            self._geom_dev = self._geom_from_host()
+
+        # loop-entry state from the host history (f64)
+        beta_h = float(self.particles.get("beta", index=-1))
+        logw, _ = self.particles.compute_logw_and_logz(1.0)
+        w = np.exp(logw - np.max(logw))
+        ess1_h = (effective_sample_size(w) if self.metric == "ess"
+                  else unique_sample_size(w))
+        ess_h = ess1_h if beta_h >= 1.0 else float(self.n_effective)
+        self._iter_walls = []  # per-iteration wall-clock diagnostics
+
+        import time as _time
+        while 1.0 - beta_h >= 1e-4 or ess1_h < self.n_total:
+            _t_iter = _time.perf_counter()
+            if save_every is not None and (self.t - t0) % int(save_every) == 0 and self.t != t0:
+                self._sync_device_history()
+                self.save_state(self.output_dir / f"{self.output_label}_{self.t}.state")
+
+            if self._slot_count == t_max:
+                t_max *= 2
+                hist = fused.grow_history(hist, t_max)
+
+            n_select = self._select_bucket(t_max, beta_h)
+            progA, progB, progC = self._device_programs(n_select)
+
+            self.t += 1
+            self.pbar.update_iter()
+            # training cadence (reference sampler.py:648-652). The beta==1
+            # clause uses last iteration's synced beta: the device loop
+            # syncs once per iteration, so the forced beta=1 retrain can
+            # start one iteration late (harmless: the following iteration
+            # is also at beta=1; exact semantics on the host path).
+            train_now = self.preconditioned and (
+                self.t % self.train_frequency == 0 or beta_h >= 1.0
+                or self.flow_untrained)
+
+            outA = progA(hist, jnp.float32(self.n_effective))
+            if train_now:
+                params, geom, _tstats = progB(
+                    self.flow.params, outA["u_sel"], outA["w_sel"],
+                    self._seed32())
+                self.flow.params = params
+                self._geom_dev = geom
+                self.flow_untrained = False
+            flow_params = self.flow.params if self.preconditioned else None
+            hist, statsC = progC(hist, outA["beta"], outA["logz"],
+                                 outA["w_flat"], outA["u_sel"],
+                                 outA["w_sel"],
+                                 jnp.float32(self.proposal_scale),
+                                 self._geom_dev, flow_params,
+                                 self._seed32())
+            self._hist_dev = hist
+            self._slot_count += 1
+
+            # the single blocking sync of the iteration
+            statsA, statsC = jax.device_get((outA["stats"], statsC))
+
+            beta_h = float(statsA[0])
+            logz_h = float(statsA[1])
+            ess_h = float(statsA[2])
+            if self.dynamic:
+                self.n_effective = int(statsA[3])
+            accept = float(statsC[0])
+            steps = int(statsC[1])
+            self.calls += int(statsC[2])
+            self.proposal_scale = float(statsC[3])
+            ess1_h = float(statsC[4])
+            logp_mean = float(statsC[5])
+            eff = self.proposal_scale / (2.38 / math.sqrt(d))
+
+            self._dev_iter_stats.append(dict(
+                iter=self.t, calls=self.calls, steps=steps, efficiency=eff,
+                ess=ess_h, accept=accept, beta=beta_h, logz=logz_h))
+            self.pbar.update_stats(dict(
+                beta=beta_h, calls=self.calls, ESS=int(ess_h), logZ=logz_h,
+                logP=logp_mean, acc=accept, steps=steps, eff=eff))
+            self._iter_walls.append(
+                (_time.perf_counter() - _t_iter, steps, n_select))
+
+        self._sync_device_history()
+
+    def _sync_device_history(self):
+        """Pull un-synced device history slots into the host Particles
+        store (one batched transfer) so posterior()/results/checkpoints
+        see the same history as the host path."""
+        hist = self._hist_dev
+        if hist is None:
+            return
+        k0, k1 = self._synced_slots, self._slot_count
+        if k1 > k0:
+            u, x, logdetj, logl, logp = jax.device_get(
+                (hist.u[k0:k1], hist.x[k0:k1], hist.logdetj[k0:k1],
+                 hist.logl[k0:k1], hist.logp[k0:k1]))
+            stats = self._dev_iter_stats[-(k1 - k0):]
+            last = None
+            for i, st in enumerate(stats):
+                last = dict(
+                    u=np.asarray(u[i], np.float64),
+                    x=np.asarray(x[i], np.float64),
+                    logdetj=np.asarray(logdetj[i], np.float64),
+                    logl=np.asarray(logl[i], np.float64),
+                    logp=np.asarray(logp[i], np.float64), **st)
+                self.particles.update(last)
+            self.particles.results_dict = None
+            self._synced_slots = k1
+            self.current_particles = last
+        if self._geom_dev is not None:
+            tgt = (self.theta_geometry if self.preconditioned
+                   else self.u_geometry)
+            for key, val in self._geom_dev.items():
+                setattr(tgt, key, val)
 
     # ------------------------------------------------------------------
     # SMC phases
@@ -717,9 +984,56 @@ class Sampler:
         """(logz, logz_err)."""
         return self.logz, self.logz_err
 
+    def _evidence_program(self, n):
+        """Fused flow-IS evidence: sample + scaler + prior + likelihood +
+        logZ + bootstrap error as ONE device program (traceable path)."""
+        key = ("EV", n)
+        if key not in self._prog_cache:
+            scaler, log_prior = self.scaler, self._logprior_dev
+            like = self._like_batch_fn
+            flow = self.flow
+            n_boot = max(n, 1000)
+
+            def ev(params, seed):
+                k_s, k_b = jax.random.split(jax.random.key(seed))
+                u_q, logq = flow._sample(params, k_s, n)
+                x_q, logdetj = scaler.inverse(u_q)
+                logp = log_prior(x_q)
+                finite = jnp.isfinite(logp)
+                x_safe = jnp.where(finite[:, None], x_q, 0.0)
+                logl = jnp.where(finite, like(x_safe), -jnp.inf)
+                logw = jnp.where(finite, logl + logp + logdetj - logq,
+                                 -jnp.inf)
+                n_fin = jnp.sum(finite)
+                logz = jax.scipy.special.logsumexp(logw) - jnp.log(n_fin)
+                # bootstrap resampled uniformly over ALL rows (non-finite
+                # rows contribute nothing to a replicate's logsumexp, so
+                # this matches the reference's filter-then-resample
+                # estimator up to the sqrt(n/n_fin) replicate-size
+                # correction; a searchsorted over the finite-row CDF is
+                # 12x slower on TPU than this randint gather)
+                idx = jax.random.randint(k_b, (n_boot, n), 0, n)
+                lz = (jax.scipy.special.logsumexp(logw[idx], axis=1)
+                      - jnp.log(n))
+                dlogz = jnp.std(lz) * jnp.sqrt(n / n_fin)
+                return jnp.stack([logz, dlogz, n_fin.astype(logw.dtype)])
+
+            self._prog_cache[key] = jax.jit(ev)
+        return self._prog_cache[key]
+
     def _compute_evidence(self, n=5_000):
         """Flow importance-sampling evidence + bootstrap error
         (reference sampler.py:869-920)."""
+        if self._use_device_loop():
+            stats = jax.device_get(
+                self._evidence_program(n)(self.flow.params, self._seed32()))
+            self.logz = float(stats[0])
+            self.logz_err = float(stats[1])
+            self.calls += int(stats[2])
+            self.pbar.update_stats(dict(calls=self.calls))
+            self._warn_evidence_quality(self.logz_err)
+            return self.logz, self.logz_err
+
         u_q, logq = self.flow.sample(n, key=self._next_key())
         x_q, logdetj = self._scaler_inverse(u_q)
         x_q = np.asarray(jax.device_get(x_q), dtype=np.float64)
@@ -747,6 +1061,11 @@ class Sampler:
         self.pbar.update_stats(dict(calls=self.calls))
         self.logz = float(logz)
         self.logz_err = dlogz
+        self._warn_evidence_quality(dlogz)
+        return self.logz, self.logz_err
+
+    @staticmethod
+    def _warn_evidence_quality(dlogz):
         if dlogz > 0.5:
             import warnings
             warnings.warn(
@@ -754,7 +1073,6 @@ class Sampler:
                 f"error ({dlogz:.2f}): the preconditioner likely under-covers "
                 f"the posterior. Consider more flow training epochs, a larger "
                 f"flow, or a bigger n_effective.", RuntimeWarning)
-        return self.logz, self.logz_err
 
     def posterior(self, resample=False, return_blobs=False,
                   trim_importance_weights=True, return_logw=False,
@@ -833,6 +1151,12 @@ class Sampler:
             setattr(self, k, state[k])
         self.particles.past = state["particles_past"]
         self.particles.results_dict = None
+        # invalidate device-loop caches tied to the previous run
+        self._geom_dev = None
+        self._hist_dev = None
+        self._slot_count = 0
+        self._synced_slots = 0
+        self._dev_iter_stats = []
         self.flow.params = jax.tree_util.tree_map(jnp.asarray, state["flow_params"])
         self.prior_samples = state["prior_samples"]
         self.current_particles = state["current_particles"]
@@ -860,7 +1184,9 @@ class Sampler:
                     "_scaler_inverse", "_loglike_host_jit", "_logprior_dev",
                     "_logprior_host", "_like_batch_fn", "pool", "distribute",
                     "pbar", "flow", "scaler", "mesh", "_key", "_rng",
-                    "u_geometry", "theta_geometry")
+                    "u_geometry", "theta_geometry",
+                    "_prog_cache", "_geom_dev", "_hist_dev",
+                    "_dev_iter_stats")
 
     def __getstate__(self):
         state = self.__dict__.copy()

@@ -55,8 +55,7 @@ def test_fused_iterations_on_mesh():
     betas = [0.0]
     sigma = jnp.float32(2.38 / np.sqrt(n_dim))
     for i in range(6):
-        key, k = jax.random.split(key)
-        hist, res = iteration(hist, sigma, flow.params, k)
+        hist, res = iteration(hist, sigma, flow.params, np.uint32(100 + i))
         sigma = res["proposal_scale"]
         betas.append(float(res["beta"]))
         assert np.isfinite(float(res["logz"]))
