@@ -1,14 +1,20 @@
-"""Benchmark: t-pCN mutation throughput on the driver-defined north-star
-config (10-D Rosenbrock, preconditioned with an NSF-6 flow, 4096 active
-particles — BASELINE.json).
+"""Benchmarks on the driver-defined north-star config (BASELINE.md).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints TWO JSON lines:
 
-Baseline: reference pocoMC's quickstart executes 51,456 likelihood calls
-(one call = one particle-step) in 150 s wall on CPU (BASELINE.md) —
-~343 particle-steps/sec through its t-pCN kernel including flow
-transforms. vs_baseline = measured particle-steps/sec / 343.
+1. North star — END-TO-END wall-clock of the reference quickstart
+   (10-D Rosenbrock, N(0,3) prior, reference defaults, n_total=4096,
+   flow-IS evidence with n_evidence=4096) on one TPU chip, warm (one
+   un-timed run warms the jit caches; a second full Sampler run is
+   timed). Baseline: the reference executes the identical inference in
+   150 s on CPU (BASELINE.md quickstart row; logZ -21.430 +- 0.027).
+   The timed run's logZ is checked against the reference value to +-0.15
+   so a statistically broken run can't score.
+
+2. Kernel throughput — t-pCN mutation particle-steps/sec with an NSF-6
+   preconditioner at 4096 active particles (fixed 16-step sweep).
+   Baseline: 51,456 likelihood calls / 150 s = ~343 particle-steps/sec
+   through the reference's kernel including flow transforms.
 """
 
 import json
@@ -17,17 +23,59 @@ import time
 import numpy as np
 
 
-def main():
+def _enable_cache(jax):
     import os
-    import jax
-    # persistent compile cache: repeated bench invocations skip the cold
-    # XLA compiles (verified working with the axon TPU backend)
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+
+def bench_quickstart():
+    """North star: warm end-to-end wall on the reference quickstart."""
+    import jax
+    import jax.numpy as jnp
+    import pocomc_tpu as pc
+
+    # EXACT reference quickstart likelihood/prior
+    # (/root/reference/docs/source/quickstart.ipynb)
+    def log_like(x):
+        return -jnp.sum(10.0 * (x[..., ::2] ** 2 - x[..., 1::2]) ** 2
+                        + (x[..., ::2] - 1.0) ** 2, axis=-1)
+
+    prior = pc.Prior([pc.Normal(0.0, 3.0) for _ in range(10)])
+
+    def one_run(seed):
+        s = pc.Sampler(prior, log_like, vectorize=True, random_state=seed)
+        t0 = time.perf_counter()
+        s.run(progress=False)
+        return time.perf_counter() - t0, s.logz, s.logz_err
+
+    one_run(0)  # warm the jit/program caches (un-timed)
+    walls, logzs = [], []
+    for seed in (1, 2, 3):
+        wall, logz, logz_err = one_run(seed)
+        walls.append(wall)
+        logzs.append(logz)
+    wall = float(np.median(walls))
+    logz = float(np.median(logzs))
+    ref_logz, ref_wall = -21.430, 150.0
+    assert abs(logz - ref_logz) < 0.15, (
+        f"quickstart logZ {logz:.3f} vs reference {ref_logz}")
+    print(json.dumps({
+        "metric": "quickstart_wall_seconds_rosenbrock10_warm",
+        "value": round(wall, 2),
+        "unit": "seconds (median of 3 full runs; reference CPU: 150 s)",
+        "vs_baseline": round(ref_wall / wall, 2),
+    }))
+
+
+def bench_kernel():
+    """Kernel throughput: fixed-length t-pCN sweep at 4096 particles."""
+    import jax
     import jax.numpy as jnp
     from pocomc_tpu.mcmc import make_sweep, make_loglike_device
     from pocomc_tpu.models.flow import Flow
@@ -43,7 +91,7 @@ def main():
     scaler = Reparameterize(n_dim, bounds=prior.bounds)
     flow = Flow(n_dim, "nsf6", seed=0)
 
-    def log_like(x):  # 10-D Rosenbrock (BASELINE quickstart likelihood)
+    def log_like(x):  # 10-D Rosenbrock (chained variant)
         return -jnp.sum(100.0 * (x[..., 1:] - x[..., :-1] ** 2) ** 2
                         + (1.0 - x[..., :-1]) ** 2, axis=-1)
 
@@ -68,7 +116,6 @@ def main():
         return sweep(u, x, logdetj, logl, logp, jnp.float32(0.7),
                      jnp.float32(0.75), geom, key, flow_params=flow.params)
 
-    # warm up / compile
     res = run(jax.random.key(1))
     jax.block_until_ready(res["u"])
     assert int(res["steps"]) == n_steps_fixed
@@ -92,6 +139,13 @@ def main():
         "unit": "particle-steps/sec",
         "vs_baseline": round(particle_steps_per_sec / baseline, 2),
     }))
+
+
+def main():
+    import jax
+    _enable_cache(jax)
+    bench_quickstart()
+    bench_kernel()
 
 
 if __name__ == "__main__":

@@ -111,7 +111,7 @@ def make_sweep(
     sqrt_d_scale = 2.38 / math.sqrt(n_dim)
     sigma_cap = min(sqrt_d_scale, 0.99)
 
-    def _to_x(v_prime, flow_params):
+    def _to_x(v_prime, flow_params, scaler_params):
         """Map proposal in sampling space back to (u', x', logdetj',
         theta', logdetj_flow'), applying boundary conditions."""
         if preconditioned:
@@ -121,14 +121,17 @@ def make_sweep(
             theta_prime = jnp.zeros_like(v_prime)
             u_prime = v_prime
             ldjf_prime = jnp.zeros(v_prime.shape[0], v_prime.dtype)
-        x_prime, ldj_prime = scaler.inverse(u_prime)
+        x_prime, ldj_prime = scaler.inverse(u_prime, params=scaler_params)
         if scaler.has_boundary:
             x_prime = scaler.apply_boundary_conditions_x(x_prime)
-            u_prime = scaler.forward(x_prime, check_input=False)
-            x_prime, ldj_prime = scaler.inverse(u_prime)
+            u_prime = scaler.forward(x_prime, check_input=False,
+                                     params=scaler_params)
+            x_prime, ldj_prime = scaler.inverse(u_prime,
+                                                params=scaler_params)
         return u_prime, x_prime, ldj_prime, theta_prime, ldjf_prime
 
-    def propose(st: SweepState, beta, geom, flow_params):
+    def propose(st: SweepState, beta, geom, flow_params,
+                scaler_params=None):
         """Draw proposals and compute everything that does NOT require the
         likelihood: proposal points in all three spaces, Jacobians, prior,
         finite masks, Student-t quadratic forms, fresh RNG key."""
@@ -154,7 +157,8 @@ def make_sweep(
             z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
             v_prime = cur + st.sigma * (z @ n_chol.T)
 
-        u_p, x_p, ldj_p, theta_p, ldjf_p = _to_x(v_prime, flow_params)
+        u_p, x_p, ldj_p, theta_p, ldjf_p = _to_x(v_prime, flow_params,
+                                                 scaler_params)
 
         finite = jnp.isfinite(ldj_p) & jnp.all(jnp.isfinite(x_p), axis=1)
         x_safe = jnp.where(finite[:, None], x_p, st.x)
@@ -289,12 +293,12 @@ def make_sweep(
                     proposal_scale=final.sigma)
 
     def _sweep_impl(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
-                    flow_params=None):
+                    flow_params=None, scaler_params=None):
         init = init_state(u, x, logdetj, logl, logp, beta, sigma0, geom,
                           key, flow_params)
 
         def body(st: SweepState) -> SweepState:
-            prop = propose(st, beta, geom, flow_params)
+            prop = propose(st, beta, geom, flow_params, scaler_params)
             logl_p = log_like(prop["x_safe"], prop["finite"])
             new_st, _, _ = accept_update(st, prop, logl_p, beta, geom)
             return new_st

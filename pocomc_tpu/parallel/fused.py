@@ -342,7 +342,7 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
                  else systematic_resample_jax)
 
     def mutate(hist: DeviceHistory, beta, logz, w_flat, u_sel, w_sel,
-               sigma0, geom, flow_params, seed):
+               sigma0, geom, flow_params, seed, scaler_params=None):
         T_max, n, d = hist.u.shape
         key = jax.random.key(seed)
         k_res, k_geom, k_sweep = jax.random.split(key, 3)
@@ -358,7 +358,8 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
         logp = hist.logp.reshape(-1)[idx]
 
         res = sweep_raw(u, x, logdetj, logl, logp, beta, sigma0, geom,
-                        k_sweep, flow_params=flow_params)
+                        k_sweep, flow_params=flow_params,
+                        scaler_params=scaler_params)
 
         hist = push_history(hist, res["u"], res["x"], res["logdetj"],
                             res["logl"], res["logp"], beta, logz)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import math
 import pickle
+from collections import OrderedDict
 from functools import partial
 from pathlib import Path
 import os
@@ -64,6 +65,17 @@ def _is_traceable(fn, example_shape, expect_shape=None):
 
 
 _CALLBACK_SUPPORT = None
+
+# Module-level cache of jitted engine programs (sweeps, device-loop
+# phases, warmup/evidence), keyed by everything baked into their traces:
+# likelihood/prior identity, scaler/flow/kernel configuration. Re-jitting
+# per Sampler instance costs ~10 s of tracing + executable rebuilds per
+# construction on a one-core host behind a remote accelerator; with the
+# scaler whitening moments passed as ARGUMENTS (scaler.whitening_params)
+# the programs hold no per-instance state and are safely shareable.
+# Entries hold strong references to the keyed objects so ids stay valid.
+_ENGINE_CACHE: OrderedDict = OrderedDict()
+_ENGINE_CACHE_MAX = 8
 
 
 def callbacks_supported() -> bool:
@@ -312,10 +324,8 @@ class Sampler:
 
         if like_traceable:
             loglike_dev = make_loglike_device(self._like_batch_fn, True, True)
-            self._loglike_host_jit = jax.jit(self._like_batch_fn)
         else:
             loglike_dev = make_loglike_device(self._host_like_raw, True, False)
-            self._loglike_host_jit = None
 
         # Sweep execution mode: the fully-fused lax.while_loop needs either
         # a traced likelihood or a backend with host-callback support;
@@ -332,26 +342,16 @@ class Sampler:
         self._logprior_dev = logprior_dev
         # host-facing prior eval: one jitted call when traceable, instead
         # of per-distribution eager dispatches
-        if getattr(self.prior, "traceable", False) or logprior_dev is self.prior.logpdf:
+        prior_traceable = (getattr(self.prior, "traceable", False)
+                           or logprior_dev is self.prior.logpdf)
+        if prior_traceable:
             self._logprior_host = jax.jit(self.prior.logpdf)
         else:
             self._logprior_host = self.prior.logpdf
 
-        common = dict(scaler=self.scaler, log_prior=logprior_dev,
-                      log_like=loglike_dev, n_dim=self.n_dim,
-                      n_steps=self.n_steps, n_max=self.n_max_steps)
-        self._sweep_plain = make_sweep(kind=self.sample, preconditioned=False, **common)
-        self._sweep_precond = make_sweep(kind=self.sample, preconditioned=True,
-                                         flow_fwd=self.flow.kernel_fwd,
-                                         flow_inv=self.flow.kernel_inv, **common)
-        self._scaler_forward = jax.jit(lambda x: self.scaler.forward(x))
-        self._scaler_inverse = jax.jit(lambda u: self.scaler.inverse(u))
-
         # Device-resident SMC loop (parallel/fused.py): one dispatch per
         # phase, one blocking sync per iteration — requires everything in
         # the iteration (likelihood, prior, flow) to trace.
-        prior_traceable = (getattr(self.prior, "traceable", False)
-                           or logprior_dev is self.prior.logpdf)
         self._device_loop_ok = (like_traceable and prior_traceable
                                 and not self.have_blobs
                                 and self._sweep_mode == "fused")
@@ -360,12 +360,79 @@ class Sampler:
                 "device_loop=True requires a JAX-traceable likelihood and "
                 "prior, no blobs, and a backend able to run the fused "
                 "sweep.")
-        self._prog_cache = {}
+
+        # Program store: the module-level shared entry when nothing
+        # instance-bound is baked into the traces (traceable likelihood +
+        # prior; scaler moments are arguments), else per-instance.
+        if self._device_loop_ok:
+            ekey = self._engine_key()
+            entry = _ENGINE_CACHE.get(ekey)
+            if entry is None:
+                entry = {"__refs__": (self.log_likelihood.f, self.prior)}
+                _ENGINE_CACHE[ekey] = entry
+                while len(_ENGINE_CACHE) > _ENGINE_CACHE_MAX:
+                    _ENGINE_CACHE.popitem(last=False)
+            self._prog_cache = entry
+        else:
+            self._prog_cache = {}
+
+        cache = self._prog_cache
+        if "sweep_plain" not in cache:
+            common = dict(scaler=self.scaler, log_prior=logprior_dev,
+                          log_like=loglike_dev, n_dim=self.n_dim,
+                          n_steps=self.n_steps, n_max=self.n_max_steps)
+            cache["sweep_plain"] = make_sweep(
+                kind=self.sample, preconditioned=False, **common)
+            cache["sweep_precond"] = make_sweep(
+                kind=self.sample, preconditioned=True,
+                flow_fwd=self.flow.kernel_fwd,
+                flow_inv=self.flow.kernel_inv, **common)
+            scaler = self.scaler
+            cache["scaler_fwd"] = jax.jit(
+                lambda x, scp: scaler.forward(x, params=scp))
+            cache["scaler_inv"] = jax.jit(
+                lambda u, scp: scaler.inverse(u, params=scp))
+            cache["loglike_host"] = (jax.jit(self._like_batch_fn)
+                                     if like_traceable else None)
+        self._sweep_plain = cache["sweep_plain"]
+        self._sweep_precond = cache["sweep_precond"]
+        self._scaler_forward = cache["scaler_fwd"]
+        self._scaler_inverse = cache["scaler_inv"]
+        self._loglike_host_jit = cache["loglike_host"]
+
+        self._scp_cache = None
         self._geom_dev = None
         self._dev_iter_stats = []
         self._hist_dev = None
         self._slot_count = 0
         self._synced_slots = 0
+
+    def _engine_key(self):
+        """Everything baked into the shared jitted programs' traces."""
+        sc = self.scaler
+        like = self.log_likelihood
+        return (
+            id(like.f), tuple(map(repr, like.args)),
+            tuple(sorted((k, repr(v)) for k, v in like.kwargs.items())),
+            self.vectorize, id(self.prior),
+            self.n_dim, self.n_active, self.n_steps, self.n_max_steps,
+            self.sample, self.preconditioned, self.metric, self.dynamic,
+            float(self.dynamic_ratio), self.resample,
+            self.flow._config_key,
+            sc.transform, sc.scale, sc.diagonal,
+            np.asarray(sc.low).tobytes(), np.asarray(sc.high).tobytes(),
+            np.asarray(sc.mask_periodic).tobytes(),
+            np.asarray(sc.mask_reflective).tobytes(),
+        )
+
+    def _scp(self):
+        """Device refs of the scaler whitening params (rebuilt after each
+        scaler fit; passed as arguments to the shared programs)."""
+        if self._scp_cache is None:
+            p = self.scaler.whitening_params()
+            self._scp_cache = (self.mesh.replicate(p) if self.mesh is not None
+                               else jax.device_put(p))
+        return self._scp_cache
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -456,6 +523,7 @@ class Sampler:
             self.prior_samples = np.asarray(
                 self.sample_prior(self.n_prior), dtype=np.float64)
             self.scaler.fit(self.prior_samples)
+            self._scp_cache = None
 
         if self.warmup:
             self._run_warmup(t0, save_every)
@@ -495,14 +563,15 @@ class Sampler:
                 scaler, log_prior = self.scaler, self._logprior_dev
                 like = self._like_batch_fn
 
-                def wu(x):
-                    u = scaler.forward(x)
-                    _, logdetj = scaler.inverse(u)
+                def wu(x, scp):
+                    u = scaler.forward(x, params=scp)
+                    _, logdetj = scaler.inverse(u, params=scp)
                     return u, logdetj, log_prior(x), like(x)
 
                 prog = self._prog_cache[("WU",)] = jax.jit(wu)
             pre = [np.asarray(a, dtype=np.float64) for a in jax.device_get(
-                prog(jnp.asarray(self.prior_samples, dtype=jnp.float32)))]
+                prog(jnp.asarray(self.prior_samples, dtype=jnp.float32),
+                     self._scp()))]
 
         for i in range(self.n_prior // self.n_active):
             if save_every is not None and (self.t - t0) % int(save_every) == 0 and self.t != t0:
@@ -513,9 +582,9 @@ class Sampler:
                 u, logdetj, logp, logl = (a[sl].copy() for a in pre)
                 blobs = None
             else:
-                u = np.asarray(jax.device_get(self._scaler_forward(jnp.asarray(x, dtype=jnp.float32))),
+                u = np.asarray(jax.device_get(self._scaler_forward(jnp.asarray(x, dtype=jnp.float32), self._scp())),
                                dtype=np.float64)
-                _, logdetj_d = self._scaler_inverse(jnp.asarray(u, dtype=jnp.float32))
+                _, logdetj_d = self._scaler_inverse(jnp.asarray(u, dtype=jnp.float32), self._scp())
                 logdetj = np.asarray(jax.device_get(logdetj_d), dtype=np.float64)
                 logp = np.asarray(jax.device_get(jnp.asarray(self._logprior_host(jnp.asarray(x, dtype=jnp.float32)))), dtype=np.float64)
                 logl, blobs = self._log_like(x)
@@ -571,17 +640,17 @@ class Sampler:
 
     def _select_bucket(self, t_max, beta_now):
         """Static top-K training/geometry-set size: pow2 bucket of 4x the
-        current effective support. While beta < 1 that is n_effective;
-        once beta hits 1 the history ESS grows toward n_total (reference
-        keeps the whole trimmed set, sampler.py:792-799), so the bucket
-        jumps straight to 4*n_total — a fixed multiple of n_effective
-        truncates the late-run training set and degrades the flow
-        (measured: logZ bias -0.45 on the quickstart), while tracking the
-        ESS gradually recompiles the programs at every intermediate pow2
-        bucket. Clipped to the flat history size."""
-        k = max(4 * self.n_effective, self.n_active)
-        if beta_now >= 1.0:
-            k = max(k, 4 * int(self.n_total))
+        run's maximum effective support. The history ESS reaches n_total
+        at termination (reference keeps the whole trimmed set,
+        sampler.py:792-799) — a fixed multiple of n_effective truncates
+        the late-run training set and degrades the flow (measured: logZ
+        bias -0.45 on the quickstart). One K for the whole run keeps the
+        reweight/train/mutate programs at a single trace+compile per
+        process (first-call costs dominate short runs on a remote
+        accelerator); rows beyond the trim survivors carry zero weight
+        and are invisible to the weighted losses. Grows only if dynamic
+        n_effective exceeds it. Clipped to the flat history size."""
+        k = max(4 * self.n_effective, 4 * int(self.n_total), self.n_active)
         k = 1 << int(math.ceil(math.log2(k)))
         return int(min(k, t_max * self.n_active))
 
@@ -701,7 +770,7 @@ class Sampler:
                                  outA["w_sel"],
                                  jnp.float32(self.proposal_scale),
                                  self._geom_dev, flow_params,
-                                 self._seed32())
+                                 self._seed32(), self._scp())
             self._hist_dev = hist
             self._slot_count += 1
 
@@ -842,7 +911,7 @@ class Sampler:
             blobs = blobs.copy()
         calls = 0
         while True:
-            prop = sweep.propose(st, beta, geom, flow_params)
+            prop = sweep.propose(st, beta, geom, flow_params, self._scp())
             # one batched pull for the proposal instead of two scalar syncs
             finite, x_safe = jax.device_get((prop["finite"], prop["x_safe"]))
             finite = np.asarray(finite)
@@ -951,9 +1020,10 @@ class Sampler:
             results, blobs = self._run_stepped_sweep(
                 sweep, args, flow_params, current_particles.get("blobs"))
         elif self.preconditioned:
-            results = sweep(*args, flow_params=flow_params)
+            results = sweep(*args, flow_params=flow_params,
+                            scaler_params=self._scp())
         else:
-            results = sweep(*args)
+            results = sweep(*args, scaler_params=self._scp())
         results = jax.device_get(results)
 
         for key in ("u", "x", "logdetj", "logl", "logp"):
@@ -994,10 +1064,10 @@ class Sampler:
             flow = self.flow
             n_boot = max(n, 1000)
 
-            def ev(params, seed):
+            def ev(params, seed, scp):
                 k_s, k_b = jax.random.split(jax.random.key(seed))
                 u_q, logq = flow._sample(params, k_s, n)
-                x_q, logdetj = scaler.inverse(u_q)
+                x_q, logdetj = scaler.inverse(u_q, params=scp)
                 logp = log_prior(x_q)
                 finite = jnp.isfinite(logp)
                 x_safe = jnp.where(finite[:, None], x_q, 0.0)
@@ -1026,7 +1096,8 @@ class Sampler:
         (reference sampler.py:869-920)."""
         if self._use_device_loop():
             stats = jax.device_get(
-                self._evidence_program(n)(self.flow.params, self._seed32()))
+                self._evidence_program(n)(self.flow.params, self._seed32(),
+                                          self._scp()))
             self.logz = float(stats[0])
             self.logz_err = float(stats[1])
             self.calls += int(stats[2])
@@ -1035,7 +1106,7 @@ class Sampler:
             return self.logz, self.logz_err
 
         u_q, logq = self.flow.sample(n, key=self._next_key())
-        x_q, logdetj = self._scaler_inverse(u_q)
+        x_q, logdetj = self._scaler_inverse(u_q, self._scp())
         x_q = np.asarray(jax.device_get(x_q), dtype=np.float64)
         logdetj = np.asarray(jax.device_get(logdetj), dtype=np.float64)
         logq = np.asarray(jax.device_get(logq), dtype=np.float64)
@@ -1157,6 +1228,7 @@ class Sampler:
         self._slot_count = 0
         self._synced_slots = 0
         self._dev_iter_stats = []
+        self._scp_cache = None
         self.flow.params = jax.tree_util.tree_map(jnp.asarray, state["flow_params"])
         self.prior_samples = state["prior_samples"]
         self.current_particles = state["current_particles"]
@@ -1186,7 +1258,7 @@ class Sampler:
                     "pbar", "flow", "scaler", "mesh", "_key", "_rng",
                     "u_geometry", "theta_geometry",
                     "_prog_cache", "_geom_dev", "_hist_dev",
-                    "_dev_iter_stats")
+                    "_dev_iter_stats", "_scp_cache")
 
     def __getstate__(self):
         state = self.__dict__.copy()

@@ -73,20 +73,22 @@ class Reparameterize:
         finite_low = np.isfinite(low)
         finite_high = np.isfinite(high)
 
-        # Static per-dimension branch masks.
-        self.mask_none = jnp.asarray(~finite_low & ~finite_high)
-        self.mask_left = jnp.asarray(finite_low & ~finite_high)
-        self.mask_right = jnp.asarray(~finite_low & finite_high)
-        self.mask_both = jnp.asarray(finite_low & finite_high)
+        # Static per-dimension branch masks. Host numpy: these enter the
+        # jitted maps as trace-time constants; eager jnp.asarray here
+        # would pay a device round trip per constant at construction.
+        self.mask_none = ~finite_low & ~finite_high
+        self.mask_left = finite_low & ~finite_high
+        self.mask_right = ~finite_low & finite_high
+        self.mask_both = finite_low & finite_high
 
         # Safe sentinel bounds so unused branches stay finite.
-        self.low = jnp.asarray(low)
-        self.high = jnp.asarray(high)
-        self._low_s = jnp.asarray(np.where(finite_low, low, 0.0))
-        self._high_s = jnp.asarray(np.where(finite_high, high, 1.0))
+        self.low = low
+        self.high = high
+        self._low_s = np.where(finite_low, low, 0.0).astype(np.float32)
+        self._high_s = np.where(finite_high, high, 1.0).astype(np.float32)
         rng = np.where(finite_low & finite_high, high - low, 1.0)
-        self._range_s = jnp.asarray(rng)
-        self._log_range = jnp.asarray(np.log(rng))
+        self._range_s = rng.astype(np.float32)
+        self._log_range = np.log(rng).astype(np.float32)
 
         self.periodic = periodic
         self.reflective = reflective
@@ -96,16 +98,16 @@ class Reparameterize:
             per[np.asarray(periodic, dtype=int)] = True
         if reflective is not None:
             ref[np.asarray(reflective, dtype=int)] = True
-        self.mask_periodic = jnp.asarray(per)
-        self.mask_reflective = jnp.asarray(ref)
+        self.mask_periodic = per
+        self.mask_reflective = ref
         self.has_boundary = bool(per.any() or ref.any())
 
         # Affine whitening parameters (set by fit()).
-        self.mu = jnp.zeros(self.n_dim)
-        self.sigma = jnp.ones(self.n_dim)
+        self.mu = np.zeros(self.n_dim, np.float32)
+        self.sigma = np.ones(self.n_dim, np.float32)
         self.L = None
         self.L_inv = None
-        self.log_det_L = jnp.asarray(0.0)
+        self.log_det_L = np.float32(0.0)
         self._fitted = False
 
     # -- boundary conditions -------------------------------------------------
@@ -168,21 +170,41 @@ class Reparameterize:
 
     # -- affine whitening ----------------------------------------------------
 
+    def _forward_bounds_np(self, x):
+        """Host-numpy (f64) mirror of _forward_bounds for the one-time
+        fit: zero device involvement."""
+        from scipy.special import erfinv as np_erfinv
+        eps = 1e-13
+        low = np.asarray(self._low_s, np.float64)
+        high = np.asarray(self._high_s, np.float64)
+        rng = np.asarray(self._range_s, np.float64)
+        u_left = np.log(np.maximum(x - low, eps))
+        u_right = np.log(np.maximum(high - x, eps))
+        p = np.clip((x - low) / rng, eps, 1.0 - eps)
+        if self.transform == "logit":
+            u_both = np.log(p) - np.log1p(-p)
+        else:
+            u_both = np.sqrt(2.0) * np_erfinv(2.0 * p - 1.0)
+        u = np.where(self.mask_left, u_left, x)
+        u = np.where(self.mask_right, u_right, u)
+        u = np.where(self.mask_both, u_both, u)
+        return u
+
     def fit(self, x):
         """Learn whitening moments from samples (host-side, once)."""
         x = np.asarray(x, dtype=np.float64)
         self._check_bounds(x)
-        u = np.asarray(jax.device_get(self._forward_bounds(jnp.asarray(x))), dtype=np.float64)
-        self.mu = jnp.asarray(np.mean(u, axis=0))
+        u = self._forward_bounds_np(x)
+        self.mu = np.mean(u, axis=0).astype(np.float32)
         if self.diagonal:
-            self.sigma = jnp.asarray(np.std(u, axis=0))
+            self.sigma = np.std(u, axis=0).astype(np.float32)
         else:
             cov = np.cov(u.T)
             cov = np.atleast_2d(cov)
             L = np.linalg.cholesky(cov)
-            self.L = jnp.asarray(L)
-            self.L_inv = jnp.asarray(np.linalg.inv(L))
-            self.log_det_L = jnp.asarray(np.linalg.slogdet(L)[1])
+            self.L = L.astype(np.float32)
+            self.L_inv = np.linalg.inv(L).astype(np.float32)
+            self.log_det_L = np.float32(np.linalg.slogdet(L)[1])
         self._fitted = True
 
     def _check_bounds(self, x):
@@ -193,27 +215,41 @@ class Reparameterize:
 
     # -- public API ----------------------------------------------------------
 
-    def forward(self, x, check_input=False):
+    def whitening_params(self):
+        """The fitted whitening moments as a pytree. Jitted programs that
+        should be shareable across Sampler instances take this as an
+        ARGUMENT (params=...) instead of closing over the instance state
+        — closed-over moments are baked into the trace as constants,
+        which both staleness-couples the program to one fit and defeats
+        cross-instance program caching."""
+        if self.diagonal:
+            return dict(mu=self.mu, sigma=self.sigma)
+        return dict(mu=self.mu, L=self.L, L_inv=self.L_inv,
+                    log_det_L=self.log_det_L)
+
+    def forward(self, x, check_input=False, params=None):
         """x -> u (bound bijection then whitening)."""
         if check_input:
             self._check_bounds(np.asarray(x))
+        p = self.whitening_params() if params is None else params
         u = self._forward_bounds(x)
         if self.scale:
             if self.diagonal:
-                u = (u - self.mu) / self.sigma
+                u = (u - p["mu"]) / p["sigma"]
             else:
-                u = (u - self.mu) @ self.L_inv.T
+                u = (u - p["mu"]) @ p["L_inv"].T
         return u
 
-    def inverse(self, u):
+    def inverse(self, u, params=None):
         """u -> (x, log|det dx/du|) summed over dimensions."""
+        p = self.whitening_params() if params is None else params
         if self.scale:
             if self.diagonal:
-                v = self.mu + self.sigma * u
-                ladj_affine = jnp.sum(jnp.log(self.sigma))
+                v = p["mu"] + p["sigma"] * u
+                ladj_affine = jnp.sum(jnp.log(p["sigma"]))
             else:
-                v = self.mu + u @ self.L.T
-                ladj_affine = self.log_det_L
+                v = p["mu"] + u @ p["L"].T
+                ladj_affine = p["log_det_L"]
             x, ladj = self._inverse_bounds(v)
             return x, ladj + ladj_affine
         return self._inverse_bounds(u)

@@ -98,7 +98,7 @@ def test_funnel_posterior_moments():
     s = pc.Sampler(prior, loglike, vectorize=True, random_state=0,
                    n_effective=512, n_active=256, precondition=True,
                    flow="nsf3", train_config={"epochs": 60, "patience": 8})
-    s.run(n_total=1024, n_evidence=0, progress=False)
+    s.run(n_total=1024, n_evidence=1024, progress=False)
 
     x, w, _, _ = s.posterior()
     w = w / w.sum()
@@ -108,7 +108,10 @@ def test_funnel_posterior_moments():
     # y-integral of the likelihood is 1 for every v (up to truncation)
     assert abs(v_mean) < 0.45
     assert v_var == pytest.approx(sv**2, rel=0.45)
-    # logZ ~ log( (1/60)^2 ) since the y-likelihood is normalized in y
-    logz, _ = (s.evidence() if s.logz is not None else (None, None))
+    # logZ ~ log( (1/60)^2 ) since the y-likelihood is normalized in y.
+    # Flow-IS evidence (n_evidence>0): the history-MIS estimator's
+    # same-seed spread is +-0.25 under CPU XLA reduction nondeterminism,
+    # too wide for a stable assertion.
+    logz, _ = s.evidence()
     expect = 2 * np.log(1 / 60.0)
     assert logz == pytest.approx(expect, abs=0.4)
