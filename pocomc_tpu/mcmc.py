@@ -96,6 +96,7 @@ def make_sweep(
     preconditioned: bool = False,
     flow_fwd: Callable | None = None,   # (params, u) -> (theta, log|det du/dtheta|)
     flow_inv: Callable | None = None,   # (params, theta) -> (u, log|det du/dtheta|)
+    plateau_z: float = 0.0,
 ):
     """Build a jitted adaptive MCMC sweep over the whole active population.
 
@@ -226,10 +227,22 @@ def make_sweep(
 
         # plateau metric: rwm variants include logdetj (mcmc.py:243,561)
         if kind == "rwm":
-            metric = jnp.mean(logl + logp + logdetj)
+            vals = logl + logp + logdetj
         else:
-            metric = jnp.mean(logl + logp)
-        improved = metric > st.logp2
+            vals = logl + logp
+        metric = jnp.mean(vals)
+        # Significance-thresholded reset (plateau_z > 0): the reference
+        # resets on ANY new record of the walker mean (mcmc.py:169-177),
+        # but at stationarity the mean is pure noise and record statistics
+        # alone extend every sweep to ~8 steps for a 5-step plateau
+        # window; requiring the record to exceed the running best by
+        # plateau_z standard errors only resets on statistically real
+        # drift. plateau_z=0 reproduces the reference rule exactly.
+        if plateau_z > 0.0:
+            sem = jnp.std(vals) / jnp.sqrt(1.0 * n)
+            improved = metric > st.logp2 + plateau_z * sem
+        else:
+            improved = metric > st.logp2
         cnt = jnp.where(improved, 0, st.cnt + 1)
         logp2 = jnp.maximum(st.logp2, metric)
 
