@@ -49,6 +49,7 @@ from .scaler import Reparameterize
 from .ops.weights import (effective_sample_size, unique_sample_size,
                           trim_weights, bisect_beta)
 from .ops.resampling import systematic_resample, multinomial_resample
+from .ops.psis import psislw
 from .utils.tools import ProgressBar, FunctionWrapper
 
 
@@ -156,6 +157,7 @@ class Sampler:
                  n_max_steps: int = None,
                  plateau_z: float = 0.75,
                  resample: str = "mult",
+                 evidence_method: str = "is",
                  output_dir: str = None,
                  output_label: str = None,
                  random_state: int = None,
@@ -288,6 +290,15 @@ class Sampler:
             raise ValueError(f"Invalid resample {resample}. Options are 'mult' or 'syst'.")
         self.resample = resample
 
+        # Evidence estimator: plain flow-IS ("is", the reference's
+        # sampler.py:869-920) or Pareto-smoothed IS ("psis", ops/psis.py).
+        # The k-hat tail diagnostic is computed either way.
+        if evidence_method not in ("is", "psis"):
+            raise ValueError(f"Invalid evidence_method {evidence_method}. "
+                             f"Options are 'is' or 'psis'.")
+        self.evidence_method = evidence_method
+        self.evidence_khat = None
+
         if n_prior is None:
             self.n_prior = int(2 * max(self.n_effective // self.n_active, 1) * self.n_active)
         else:
@@ -335,6 +346,10 @@ class Sampler:
             loglike_dev = make_loglike_device(self._like_batch_fn, True, True)
         else:
             loglike_dev = make_loglike_device(self._host_like_raw, True, False)
+            if self.mesh is not None:
+                # multi-host/multi-chip black-box fan-out: each process's
+                # Python likelihood sees only its local particle rows
+                loglike_dev = self.mesh.shard_callback(loglike_dev)
 
         # Sweep execution mode: the fully-fused lax.while_loop needs either
         # a traced likelihood or a backend with host-callback support;
@@ -1066,90 +1081,102 @@ class Sampler:
         return self.logz, self.logz_err
 
     def _evidence_program(self, n):
-        """Fused flow-IS evidence: sample + scaler + prior + likelihood +
-        logZ + bootstrap error as ONE device program (traceable path)."""
-        key = ("EV", n)
+        """Fused flow-IS ratio computation: sample + scaler + prior +
+        likelihood as ONE device program (traceable path).  Returns the
+        raw log-ratio vector (-inf on rows the prior rejects); the
+        estimator itself runs on host f64 (see _compute_evidence) so the
+        plain-IS and PSIS paths share one program."""
+        key = ("EVW", n)
         if key not in self._prog_cache:
             scaler, log_prior = self.scaler, self._logprior_dev
             like = self._like_batch_fn
             flow = self.flow
-            n_boot = max(n, 1000)
 
             def ev(params, seed, scp):
-                k_s, k_b = jax.random.split(jax.random.key(seed))
+                k_s = jax.random.key(seed)
                 u_q, logq = flow._sample(params, k_s, n)
                 x_q, logdetj = scaler.inverse(u_q, params=scp)
                 logp = log_prior(x_q)
                 finite = jnp.isfinite(logp)
                 x_safe = jnp.where(finite[:, None], x_q, 0.0)
                 logl = jnp.where(finite, like(x_safe), -jnp.inf)
-                logw = jnp.where(finite, logl + logp + logdetj - logq,
+                return jnp.where(finite, logl + logp + logdetj - logq,
                                  -jnp.inf)
-                n_fin = jnp.sum(finite)
-                logz = jax.scipy.special.logsumexp(logw) - jnp.log(n_fin)
-                # bootstrap resampled uniformly over ALL rows (non-finite
-                # rows contribute nothing to a replicate's logsumexp, so
-                # this matches the reference's filter-then-resample
-                # estimator up to the sqrt(n/n_fin) replicate-size
-                # correction; a searchsorted over the finite-row CDF is
-                # 12x slower on TPU than this randint gather)
-                idx = jax.random.randint(k_b, (n_boot, n), 0, n)
-                lz = (jax.scipy.special.logsumexp(logw[idx], axis=1)
-                      - jnp.log(n))
-                dlogz = jnp.std(lz) * jnp.sqrt(n / n_fin)
-                return jnp.stack([logz, dlogz, n_fin.astype(logw.dtype)])
 
             self._prog_cache[key] = jax.jit(ev)
         return self._prog_cache[key]
 
     def _compute_evidence(self, n=5_000):
         """Flow importance-sampling evidence + bootstrap error
-        (reference sampler.py:869-920)."""
+        (reference sampler.py:869-920), hardened with the PSIS k-hat tail
+        diagnostic and an optional Pareto-smoothed estimator
+        (ops/psis.py; Vehtari et al. 2024)."""
         if self._use_device_loop():
-            stats = jax.device_get(
+            logw = np.asarray(jax.device_get(
                 self._evidence_program(n)(self.flow.params, self._seed32(),
-                                          self._scp()))
-            self.logz = float(stats[0])
-            self.logz_err = float(stats[1])
-            self.calls += int(stats[2])
-            self.pbar.update_stats(dict(calls=self.calls))
-            self._warn_evidence_quality(self.logz_err)
-            return self.logz, self.logz_err
+                                          self._scp())), dtype=np.float64)
+            logw = logw[np.isfinite(logw)]
+        else:
+            u_q, logq = self.flow.sample(n, key=self._next_key())
+            x_q, logdetj = self._scaler_inverse(u_q, self._scp())
+            x_q = np.asarray(jax.device_get(x_q), dtype=np.float64)
+            logdetj = np.asarray(jax.device_get(logdetj), dtype=np.float64)
+            logq = np.asarray(jax.device_get(logq), dtype=np.float64)
 
-        u_q, logq = self.flow.sample(n, key=self._next_key())
-        x_q, logdetj = self._scaler_inverse(u_q, self._scp())
-        x_q = np.asarray(jax.device_get(x_q), dtype=np.float64)
-        logdetj = np.asarray(jax.device_get(logdetj), dtype=np.float64)
-        logq = np.asarray(jax.device_get(logq), dtype=np.float64)
+            logp = np.asarray(jax.device_get(jnp.asarray(self._logprior_host(
+                jnp.asarray(x_q, dtype=jnp.float32)))), dtype=np.float64)
+            finite = np.isfinite(logp)
+            x_q, logdetj, logq, logp = (x_q[finite], logdetj[finite],
+                                        logq[finite], logp[finite])
+            logl, _ = self._log_like(x_q)
+            logw = logl + logp + logdetj - logq
 
-        logp = np.asarray(jax.device_get(jnp.asarray(self._logprior_host(jnp.asarray(x_q, dtype=jnp.float32)))), dtype=np.float64)
-        finite = np.isfinite(logp)
-        x_q, logdetj, logq, logp = x_q[finite], logdetj[finite], logq[finite], logp[finite]
+        # tail diagnostic is always computed; smoothing applies only under
+        # evidence_method="psis"
+        logw_smooth, khat = psislw(logw)
+        self.evidence_khat = float(khat)
+        logw_used = logw_smooth if self.evidence_method == "psis" else logw
 
-        logl, _ = self._log_like(x_q)
-        logw = logl + logp + logdetj - logq
-        m = logw.max()
-        n_w = len(logw)
-        logz = m + np.log(np.sum(np.exp(logw - m))) - np.log(n_w)
+        m = logw_used.max()
+        n_w = len(logw_used)
+        logz = m + np.log(np.sum(np.exp(logw_used - m))) - np.log(n_w)
 
         # bootstrap error on device (an (n_boot, n_w) gather + logsumexp is
         # milliseconds there vs seconds of host f64 on one core); the
         # weights are max-normalized first so f32 is ample
         n_boot = max(n, 1000)
         dlogz = float(jax.device_get(_bootstrap_dlogz(
-            jnp.asarray(logw - m, dtype=jnp.float32), self._next_key(), n_boot)))
+            jnp.asarray(logw_used - m, dtype=jnp.float32), self._next_key(),
+            n_boot)))
 
         self.calls += n_w
         self.pbar.update_stats(dict(calls=self.calls))
         self.logz = float(logz)
         self.logz_err = dlogz
-        self._warn_evidence_quality(dlogz)
+        self._warn_evidence_quality(dlogz, khat, self.evidence_method)
         return self.logz, self.logz_err
 
     @staticmethod
-    def _warn_evidence_quality(dlogz):
-        if dlogz > 0.5:
-            import warnings
+    def _warn_evidence_quality(dlogz, khat=None, method="is"):
+        import warnings
+        if khat is not None and khat > 0.7:
+            warnings.warn(
+                f"Flow importance-sampling evidence is unreliable: the "
+                f"Pareto tail-shape diagnostic k-hat={khat:.2f} exceeds 0.7 "
+                f"(importance ratios have effectively infinite variance; "
+                f"even Pareto smoothing cannot rescue the estimate). The "
+                f"preconditioner under-covers the posterior -- increase "
+                f"n_effective, use a larger flow (e.g. flow='nsf12'), or "
+                f"train longer (train_config['patience']). The quoted "
+                f"logz_err understates the true error.", RuntimeWarning)
+        elif khat is not None and khat > 0.5 and method == "is":
+            warnings.warn(
+                f"Flow importance-sampling ratios are heavy-tailed "
+                f"(k-hat={khat:.2f} > 0.5): the plain-IS evidence converges "
+                f"slowly. Consider Sampler(evidence_method='psis') for a "
+                f"Pareto-smoothed estimate, or a larger n_evidence.",
+                RuntimeWarning)
+        elif dlogz > 0.5:
             warnings.warn(
                 f"Flow importance-sampling evidence has a large bootstrap "
                 f"error ({dlogz:.2f}): the preconditioner likely under-covers "
