@@ -22,14 +22,14 @@ from .models.flow import Flow
 from .models.geometry import Geometry
 from .models.student import fit_mvstud
 from .sampler import Sampler
-from .parallel import MPIPool
+from .parallel import MPIPool, ParticleMesh, initialize_distributed
 from .ops.weights import (effective_sample_size, unique_sample_size,
                           compute_ess, increment_logz, trim_weights)
 from .ops.resampling import systematic_resample, multinomial_resample
 
 __all__ = [
     "Sampler", "Prior", "Flow", "Reparameterize", "Particles", "Geometry",
-    "MPIPool", "fit_mvstud",
+    "MPIPool", "ParticleMesh", "initialize_distributed", "fit_mvstud",
     "Normal", "Uniform", "LogUniform", "TruncatedNormal", "LogNormal",
     "Beta", "Gamma", "Exponential", "HalfNormal", "Cauchy", "StudentT",
     "Laplace",

@@ -1,2 +1,2 @@
 from .pool import MPIPool
-from .mesh import ParticleMesh
+from .mesh import ParticleMesh, initialize_distributed

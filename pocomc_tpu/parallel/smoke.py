@@ -1,0 +1,177 @@
+"""Multi-process (multi-host) smoke harness.
+
+The reference's scale-out story is `mpiexec -n N python script.py` with an
+MPIPool shipping pickled likelihood calls to workers
+(/root/reference/pocomc/parallel.py:20-178,
+ /root/reference/docs/source/parallelization.ipynb "MPI").  The TPU-native
+equivalent is one global `jax.sharding.Mesh` spanning every process of a
+pod, so the "does multi-host actually run?" check is: N OS processes,
+each owning a slice of devices, joining one mesh and executing the
+framework's real programs.  This module is that check, runnable anywhere
+(CPU devices + Gloo collectives, no TPU pod needed):
+
+    python -m pocomc_tpu.parallel.smoke            # 2 procs x 2 devices
+    python -m pocomc_tpu.parallel.smoke 4 2        # 4 procs x 2 devices
+
+Each worker runs, over the GLOBAL mesh:
+  1. a sharded reduction (device_put path + psum correctness),
+  2. a black-box host likelihood through ParticleMesh.shard_callback —
+     verifying each process's Python function sees ONLY local rows,
+  3. the real adaptive t-pCN sweep program (mcmc.make_sweep) on sharded
+     particles, gathered and checksummed — every process must agree.
+
+`launch()` spawns the workers and validates their output; the pytest
+suite (tests/test_multihost.py) and __graft_entry__.dryrun_multichip's
+multi-process mode both drive it.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def run_worker(process_id: int, num_processes: int, port: int,
+               n_local: int = 2) -> None:
+    """Body of one multi-host process (CPU backend, Gloo collectives)."""
+    from pocomc_tpu.parallel.mesh import ParticleMesh, initialize_distributed
+
+    rank, count = initialize_distributed(
+        f"localhost:{port}", num_processes, process_id,
+        local_device_count=n_local, platform="cpu")
+    assert count == num_processes and rank == process_id
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pocomc_tpu.mcmc import make_loglike_device, make_sweep
+    from pocomc_tpu.models.geometry import fit_geometry_jax
+    from pocomc_tpu.prior import Normal, Prior
+    from pocomc_tpu.scaler import Reparameterize
+
+    mesh = ParticleMesh()
+    assert mesh.multihost and mesh.size == num_processes * n_local
+    n = 16 * mesh.size
+    n_dim = 3
+
+    # 1. sharded reduction over the global mesh
+    total = float(mesh.gather(jax.jit(
+        jnp.sum, out_shardings=mesh.replicated)(
+            mesh.shard_particles(np.arange(n, dtype=np.float32)))))
+    assert total == n * (n - 1) / 2, total
+
+    # 2. black-box likelihood fan-out: local rows only
+    seen: list[int] = []
+
+    def host_like(x):
+        seen.append(x.shape[0])
+        return -0.5 * np.sum(np.asarray(x) ** 2, axis=-1)
+
+    loglike = mesh.shard_callback(make_loglike_device(host_like, True, False))
+    x_host = np.random.default_rng(0).normal(size=(n, n_dim)).astype(np.float32)
+    logl = mesh.gather(jax.jit(loglike)(
+        mesh.shard_particles(x_host),
+        mesh.shard_particles(np.ones(n, dtype=bool))))
+    np.testing.assert_allclose(logl, -0.5 * np.sum(x_host**2, 1), atol=1e-5)
+    local_rows = n // mesh.size
+    assert max(seen) <= local_rows * n_local, (seen, local_rows)
+
+    # 3. the real adaptive sweep program on sharded particles
+    prior = Prior([Normal(0.0, 3.0) for _ in range(n_dim)])
+    scaler = Reparameterize(n_dim, bounds=prior.bounds)
+
+    def log_like(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    sweep = make_sweep(scaler=scaler, log_prior=prior.logpdf,
+                       log_like=make_loglike_device(log_like, True, True),
+                       n_dim=n_dim, n_steps=2, n_max=4, kind="tpcn",
+                       preconditioned=False)
+    u0 = x_host.copy()
+    x0, ldj0 = scaler.inverse(u0)
+    res = sweep(mesh.shard_particles(u0),
+                mesh.shard_particles(np.asarray(x0)),
+                mesh.shard_particles(np.asarray(ldj0)),
+                mesh.shard_particles(np.asarray(log_like(jnp.asarray(x0)))),
+                mesh.shard_particles(np.asarray(prior.logpdf(x0))),
+                jnp.float32(0.5), jnp.float32(2.38 / np.sqrt(n_dim)),
+                fit_geometry_jax(jnp.asarray(u0)), jax.random.key(7))
+    u_new = mesh.gather(res["u"])
+    assert np.isfinite(u_new).all() and int(res["steps"]) >= 2
+    checksum = float(np.sum(u_new.astype(np.float64)))
+
+    print(f"MULTIHOST-OK rank={rank}/{count} devices={mesh.size} "
+          f"local_batch_max={max(seen)} sweep_steps={int(res['steps'])} "
+          f"checksum={checksum:.6f}", flush=True)
+
+
+def launch(num_processes: int = 2, n_local: int = 2,
+           timeout: float = 420.0) -> list[str]:
+    """Spawn the worker processes; return their MULTIHOST-OK lines.
+
+    Raises on any worker failure or on checksum disagreement between
+    processes (the SPMD contract: every host computes the identical
+    global result).
+    """
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # repo root on the path regardless of the caller's cwd
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p])
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "pocomc_tpu.parallel.smoke", "--worker",
+             str(pid), str(num_processes), str(port), str(n_local)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(num_processes)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outputs.append(out)
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"multihost smoke worker failed "
+                    f"(rc={p.returncode}):\n{out}")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    ok_lines = [ln for out in outputs for ln in out.splitlines()
+                if ln.startswith("MULTIHOST-OK")]
+    if len(ok_lines) != num_processes:
+        raise RuntimeError(f"expected {num_processes} MULTIHOST-OK lines, "
+                           f"got {len(ok_lines)}:\n" + "\n".join(outputs))
+    checksums = {ln.rsplit("checksum=", 1)[1] for ln in ok_lines}
+    if len(checksums) != 1:
+        raise RuntimeError(f"processes disagree on the global sweep result: "
+                           f"{sorted(checksums)}")
+    return ok_lines
+
+
+def main(argv):
+    if argv and argv[0] == "--worker":
+        pid, nproc, port, n_local = map(int, argv[1:5])
+        run_worker(pid, nproc, port, n_local)
+        return
+    nproc = int(argv[0]) if argv else 2
+    n_local = int(argv[1]) if len(argv) > 1 else 2
+    for line in launch(nproc, n_local):
+        print(line)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
