@@ -51,6 +51,29 @@ class SweepState(NamedTuple):
     key: jnp.ndarray
 
 
+# --- live per-step sweep statistics tap ---------------------------------
+# The reference prints calls/acc/steps DURING a sweep (mcmc.py:159-167);
+# the fused lax.while_loop sweep is otherwise a black box until it
+# returns. On backends with host-callback support the sweep body can emit
+# its packed stats each step through jax.debug.callback into a
+# process-global sink (one sweep runs at a time per process). The sink is
+# looked up at call time, so the emitting program stays shareable: with
+# no sink registered the tap is a no-op.
+_LIVE_SINK = None
+
+
+def set_live_sink(fn):
+    """Register ``fn(step, plateau_cnt, sigma, accept, calls)`` to receive
+    per-step statistics from live-stats sweeps; ``None`` unregisters."""
+    global _LIVE_SINK
+    _LIVE_SINK = fn
+
+
+def _live_emit(i, cnt, sigma, accept, calls):
+    if _LIVE_SINK is not None:
+        _LIVE_SINK(int(i), int(cnt), float(sigma), float(accept), int(calls))
+
+
 def make_loglike_device(fn, vectorize: bool, traceable: bool, dtype=jnp.float32):
     """Wrap a user log-likelihood into `loglike(x, mask) -> logl` usable
     inside jit. Non-finite-mask rows receive -inf without being evaluated
@@ -97,6 +120,7 @@ def make_sweep(
     flow_fwd: Callable | None = None,   # (params, u) -> (theta, log|det du/dtheta|)
     flow_inv: Callable | None = None,   # (params, theta) -> (u, log|det du/dtheta|)
     plateau_z: float = 0.0,
+    live_stats: bool = False,           # per-step tap via jax.debug.callback
 ):
     """Build a jitted adaptive MCMC sweep over the whole active population.
 
@@ -314,6 +338,10 @@ def make_sweep(
             prop = propose(st, beta, geom, flow_params, scaler_params)
             logl_p = log_like(prop["x_safe"], prop["finite"])
             new_st, _, _ = accept_update(st, prop, logl_p, beta, geom)
+            if live_stats:
+                jax.debug.callback(_live_emit, new_st.i, new_st.cnt,
+                                   new_st.sigma, new_st.accept,
+                                   new_st.calls, ordered=False)
             return new_st
 
         final = jax.lax.while_loop(cond, body, init)

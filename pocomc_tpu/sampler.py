@@ -163,6 +163,8 @@ class Sampler:
                  random_state: int = None,
                  mesh=None,
                  device_loop="auto",
+                 compile_cache: bool = True,
+                 profile_dir: str = None,
                  # accepted for reference API compatibility (no-ops here)
                  pytorch_threads=None,
                  n_ess: int = None,
@@ -319,6 +321,20 @@ class Sampler:
                 f"True or False.")
         self.device_loop = device_loop
 
+        # Cold-start: persistent XLA compile cache (fresh-process compiles
+        # of the sweep/training programs become disk reads; utils/tools.py
+        # enable_compile_cache). Opt out with compile_cache=False or
+        # POCOMC_COMPILE_CACHE=off.
+        if compile_cache:
+            from .utils.tools import enable_compile_cache
+            enable_compile_cache()
+
+        # Observability: jax.profiler trace hooks (SURVEY.md section 5.1).
+        # profile_dir=<dir> captures a full XLA trace of run() viewable in
+        # TensorBoard/Perfetto; phase TraceAnnotations (reweight/train/
+        # resample/mutate/evidence) label the timeline either way.
+        self.profile_dir = None if profile_dir is None else str(profile_dir)
+
         self._build_device_fns()
 
     # ------------------------------------------------------------------
@@ -375,9 +391,17 @@ class Sampler:
 
         # Device-resident SMC loop (parallel/fused.py): one dispatch per
         # phase, one blocking sync per iteration — requires everything in
-        # the iteration (likelihood, prior, flow) to trace.
+        # the iteration (likelihood, prior, flow) to trace. Custom flow
+        # objects (docs/flows.md "Custom flows") qualify only if they
+        # expose the device-training surface; otherwise the host path
+        # (flow.fit) drives them.
+        flow_device_ready = all(
+            hasattr(self.flow, a)
+            for a in ("_sample", "_log_prob", "_loss_fn", "_forward",
+                      "_config_key"))
         self._device_loop_ok = (like_traceable and prior_traceable
                                 and not self.have_blobs
+                                and flow_device_ready
                                 and self._sweep_mode == "fused")
         if self.device_loop is True and not self._device_loop_ok:
             raise ValueError(
@@ -400,12 +424,24 @@ class Sampler:
         else:
             self._prog_cache = {}
 
+        # Live per-step sweep stats (reference mcmc.py:159-167): the host
+        # fused sweep emits its packed stats each step through a debug
+        # callback when the backend supports host callbacks. Off for the
+        # shared device-loop programs (the device loop batches its sync to
+        # one per iteration by design) and under mesh sharding (SPMD
+        # callback delivery is per-device).
+        self._live_stats = (not self._device_loop_ok
+                            and self._sweep_mode == "fused"
+                            and self.mesh is None
+                            and callbacks_supported())
+
         cache = self._prog_cache
         if "sweep_plain" not in cache:
             common = dict(scaler=self.scaler, log_prior=logprior_dev,
                           log_like=loglike_dev, n_dim=self.n_dim,
                           n_steps=self.n_steps, n_max=self.n_max_steps,
-                          plateau_z=self.plateau_z)
+                          plateau_z=self.plateau_z,
+                          live_stats=self._live_stats)
             cache["sweep_plain"] = make_sweep(
                 kind=self.sample, preconditioned=False, **common)
             cache["sweep_precond"] = make_sweep(
@@ -463,6 +499,14 @@ class Sampler:
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _trace(self, name):
+        """Phase TraceAnnotation for jax.profiler timelines; a no-op
+        context when profiling is off (zero overhead on the hot path)."""
+        if self.profile_dir is None:
+            from contextlib import nullcontext
+            return nullcontext()
+        return jax.profiler.TraceAnnotation(name)
 
     # ------------------------------------------------------------------
     # likelihood evaluation (host-facing)
@@ -551,28 +595,40 @@ class Sampler:
             self.scaler.fit(self.prior_samples)
             self._scp_cache = None
 
-        if self.warmup:
-            self._run_warmup(t0, save_every)
-            self.warmup = False
+        if self.profile_dir is not None:
+            jax.profiler.start_trace(self.profile_dir)
+        try:
+            if self.warmup:
+                with self._trace("pocomc/warmup"):
+                    self._run_warmup(t0, save_every)
+                self.warmup = False
 
-        if self._use_device_loop():
-            self._run_device_loop(t0, save_every)
-        else:
-            while self._not_termination(self.current_particles):
-                if save_every is not None and (self.t - t0) % int(save_every) == 0 and self.t != t0:
-                    self.save_state(self.output_dir / f"{self.output_label}_{self.t}.state")
+            if self._use_device_loop():
+                self._run_device_loop(t0, save_every)
+            else:
+                while self._not_termination(self.current_particles):
+                    if save_every is not None and (self.t - t0) % int(save_every) == 0 and self.t != t0:
+                        self.save_state(self.output_dir / f"{self.output_label}_{self.t}.state")
 
-                self.current_particles = self._reweight(self.current_particles)
-                self.current_particles = self._train(self.current_particles)
-                self.current_particles = self._resample(self.current_particles)
-                self.current_particles = self._mutate(self.current_particles)
-                self.particles.update(self.current_particles)
+                    with self._trace("pocomc/reweight"):
+                        self.current_particles = self._reweight(self.current_particles)
+                    with self._trace("pocomc/train"):
+                        self.current_particles = self._train(self.current_particles)
+                    with self._trace("pocomc/resample"):
+                        self.current_particles = self._resample(self.current_particles)
+                    with self._trace("pocomc/mutate"):
+                        self.current_particles = self._mutate(self.current_particles)
+                    self.particles.update(self.current_particles)
 
-        if self.n_evidence > 0 and self.preconditioned:
-            self._compute_evidence(self.n_evidence)
-        else:
-            _, self.logz = self.particles.compute_logw_and_logz(1.0)
-            self.logz_err = None
+            if self.n_evidence > 0 and self.preconditioned:
+                with self._trace("pocomc/evidence"):
+                    self._compute_evidence(self.n_evidence)
+            else:
+                _, self.logz = self.particles.compute_logw_and_logz(1.0)
+                self.logz_err = None
+        finally:
+            if self.profile_dir is not None:
+                jax.profiler.stop_trace()
 
         if save_every is not None:
             self.save_state(self.output_dir / f"{self.output_label}_final.state")
@@ -782,21 +838,24 @@ class Sampler:
                 self.t % self.train_frequency == 0 or beta_h >= 1.0
                 or self.flow_untrained)
 
-            outA = progA(hist, jnp.float32(self.n_effective))
+            with self._trace("pocomc/reweight"):
+                outA = progA(hist, jnp.float32(self.n_effective))
             if train_now:
-                params, geom, _tstats = progB(
-                    self.flow.params, outA["u_sel"], outA["w_sel"],
-                    self._seed32())
+                with self._trace("pocomc/train"):
+                    params, geom, _tstats = progB(
+                        self.flow.params, outA["u_sel"], outA["w_sel"],
+                        self._seed32())
                 self.flow.params = params
                 self._geom_dev = geom
                 self.flow_untrained = False
             flow_params = self.flow.params if self.preconditioned else None
-            hist, statsC = progC(hist, outA["beta"], outA["logz"],
-                                 outA["w_flat"], outA["u_sel"],
-                                 outA["w_sel"],
-                                 jnp.float32(self.proposal_scale),
-                                 self._geom_dev, flow_params,
-                                 self._seed32(), self._scp())
+            with self._trace("pocomc/mutate"):
+                hist, statsC = progC(hist, outA["beta"], outA["logz"],
+                                     outA["w_flat"], outA["u_sel"],
+                                     outA["w_sel"],
+                                     jnp.float32(self.proposal_scale),
+                                     self._geom_dev, flow_params,
+                                     self._seed32(), self._scp())
             self._hist_dev = hist
             self._slot_count += 1
 
@@ -1045,12 +1104,27 @@ class Sampler:
         if stepped:
             results, blobs = self._run_stepped_sweep(
                 sweep, args, flow_params, current_particles.get("blobs"))
-        elif self.preconditioned:
-            results = sweep(*args, flow_params=flow_params,
-                            scaler_params=self._scp())
+            results = jax.device_get(results)
         else:
-            results = sweep(*args, scaler_params=self._scp())
-        results = jax.device_get(results)
+            if self._live_stats and self.progress:
+                from .mcmc import set_live_sink
+                pbar, calls0 = self.pbar, self.calls
+                set_live_sink(lambda i, cnt, sigma, accept, calls:
+                              pbar.update_stats(dict(
+                                  steps=i, acc=round(accept, 3),
+                                  calls=calls0 + calls)))
+            try:
+                if self.preconditioned:
+                    results = sweep(*args, flow_params=flow_params,
+                                    scaler_params=self._scp())
+                else:
+                    results = sweep(*args, scaler_params=self._scp())
+                # device_get blocks: all pending live-stat callbacks have
+                # fired before the sink is torn down
+                results = jax.device_get(results)
+            finally:
+                if self._live_stats and self.progress:
+                    set_live_sink(None)
 
         for key in ("u", "x", "logdetj", "logl", "logp"):
             current_particles[key] = np.asarray(results[key], dtype=np.float64)
@@ -1303,9 +1377,16 @@ class Sampler:
         state["_runtime_state"] = self.state_dict()
         for k in self._UNPICKLABLE:
             state.pop(k, None)
-        state["_flow_config"] = (self.flow.n_dim,
-                                 f"{self.flow.kind}{self.flow.n_transforms}",
-                                 self.flow.bins)
+        if isinstance(self.flow, Flow):
+            state["_flow_config"] = (self.flow.n_dim,
+                                     f"{self.flow.kind}{self.flow.n_transforms}",
+                                     self.flow.bins)
+        else:
+            # custom flow object (docs/flows.md): pickled whole — the
+            # protocol requires custom flows to be picklable for
+            # Sampler pickling/checkpoint round-trips
+            state["_flow_config"] = None
+            state["_flow_obj"] = self.flow
         state["_scaler_config"] = dict(
             n_dim=self.scaler.n_dim,
             bounds=np.stack([np.asarray(self.scaler.low),
@@ -1318,7 +1399,8 @@ class Sampler:
 
     def __setstate__(self, state):
         runtime = state.pop("_runtime_state")
-        n_dim, arch, bins = state.pop("_flow_config")
+        flow_config = state.pop("_flow_config")
+        flow_obj = state.pop("_flow_obj", None)
         scaler_cfg = state.pop("_scaler_config")
         self.__dict__.update(state)
         self.pool = None
@@ -1327,7 +1409,11 @@ class Sampler:
         self.mesh = None
         self._rng = np.random.default_rng(0)
         self._key = jax.random.key(0)
-        self.flow = Flow(n_dim, arch, bins=bins)
+        if flow_config is not None:
+            n_dim, arch, bins = flow_config
+            self.flow = Flow(n_dim, arch, bins=bins)
+        else:
+            self.flow = flow_obj
         self.scaler = Reparameterize(**scaler_cfg)
         self.u_geometry = Geometry()
         self.theta_geometry = Geometry()
