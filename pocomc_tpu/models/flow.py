@@ -64,20 +64,28 @@ class Flow:
     """
 
     def __init__(self, n_dim: int, flow: str = "nsf6", bins: int = 8,
-                 seed: int = 0, use_pallas: bool | str = "auto"):
+                 seed: int = 0, use_pallas: bool | str = "auto",
+                 use_pallas_inverse: bool | str = "auto"):
         if flow not in _ARCHS:
             raise ValueError(
                 f"Invalid flow {flow!r}. Choose from {sorted(_ARCHS)}.")
-        if use_pallas == "auto":
-            # The fused Pallas MADE pass pays off once the hidden width
-            # fills MXU tiles; below that the (8,128)-tile padding overhead
-            # exceeds the fusion win (measured on v5e: nsf6/d=10 XLA
-            # log_prob 0.76 ms vs Pallas 1.34 ms, but the reverse for
-            # h>=128). Auto-enable on TPU for wide networks only.
-            n_hidden_auto = max(_next_pow2(3 * n_dim), 32)
-            use_pallas = (jax.default_backend() == "tpu"
-                          and n_hidden_auto >= 128)
-        self.use_pallas = bool(use_pallas)
+        # Pallas kernels for the MADE passes were built and measured in
+        # rounds 1-2 and DELETED per the parity-code-is-debt rule; the
+        # flags are accepted and ignored so configs that set them keep
+        # loading. The honest K=20-chained device_get medians on v5e
+        # (round 1's block_until_ready timings were void — axon acks at
+        # enqueue, see CLAUDE.md):
+        #   fused whole-transform d-step INVERSE (weights VMEM-resident,
+        #   dims unrolled): 0.80x (d=10/h=32), 0.73x (d=25/h=128),
+        #   0.64x (d=50/h=256) vs the XLA lax.scan;
+        #   fused FORWARD pass: 1.03x (d=25), 1.00x (d=50) — parity.
+        # XLA already hoists the loop-invariant masked weights, fuses the
+        # elementwise spline math into the matmuls, and pipelines the
+        # per-dim steps; the one-hot gather + per-dim output slicing
+        # redesign (round 1) moved the win into XLA itself. RESULTS.md
+        # "Pallas postmortem" has the full numbers.
+        self.use_pallas = False
+        self.use_pallas_inverse = False
         self.n_dim = int(n_dim)
         self.kind, self.n_transforms = _ARCHS[flow]
         self.bins = int(bins)
@@ -122,21 +130,19 @@ class Flow:
             # degree: position k updates dim argsort(order)[k]
             self._inv_dim_order = [np.argsort(o).astype(np.int32)
                                    for o in self.orders]
-            if not self.use_pallas:
-                # stack the transform axis: params become a list of layer
-                # dicts with (T, ...) leaves so the forward/inverse are a
-                # single lax.scan over transforms (see _build_fns)
-                n_layers = len(self.params[0])
-                self.params = [
-                    {k: np.stack([self.params[t][l][k]
-                                  for t in range(self.n_transforms)])
-                     for k in ("w", "b")}
-                    for l in range(n_layers)]
+            # stack the transform axis: params become a list of layer
+            # dicts with (T, ...) leaves so the forward/inverse are a
+            # single lax.scan over transforms (see _build_fns)
+            n_layers = len(self.params[0])
+            self.params = [
+                {k: np.stack([self.params[t][l][k]
+                              for t in range(self.n_transforms)])
+                 for k in ("w", "b")}
+                for l in range(n_layers)]
         self.params = jax.device_put(self.params)
 
         self._config_key = (self.n_dim, self.kind, self.n_transforms,
-                            self.bins, tuple(self.hidden_sizes),
-                            self.use_pallas)
+                            self.bins, tuple(self.hidden_sizes))
         cached = _PROGRAM_CACHE.get(self._config_key)
         if cached is None:
             self._build_fns()
@@ -219,36 +225,6 @@ class Flow:
             ladj0 = jnp.zeros(z.shape[0], z.dtype)
             (x, ladj), _ = jax.lax.scan(body, (x0, ladj0), dim_order)
             return x, ladj
-
-        if self.use_pallas:
-            # Pallas fused MADE passes are built per transform (the mask
-            # is baked into each kernel), so this path keeps the unrolled
-            # transform loop.
-            from ..ops.pallas_kernels import make_made_apply
-            interpret = jax.default_backend() != "tpu"
-            applies = [make_made_apply(m, n_dim, n_params, interpret=interpret)
-                       for m in masks]
-
-            def forward(params, x):
-                """data -> latent; returns (z, sum ladj log|dz/dx|)."""
-                ladj = jnp.zeros(x.shape[0], x.dtype)
-                for t in range(self.n_transforms):
-                    p = applies[t](params[t], x)
-                    x, l = self._elem_fwd(x, p)
-                    ladj = ladj + jnp.sum(l, axis=-1)
-                return x, ladj
-
-            def inverse(params, z):
-                """latent -> data; returns (x, sum ladj log|dx/dz|)."""
-                ladj = jnp.zeros(z.shape[0], z.dtype)
-                for t in reversed(range(self.n_transforms)):
-                    z, l = transform_inverse(params[t], masks[t], z,
-                                             inv_orders[t])
-                    ladj = ladj + l
-                return z, ladj
-
-            self._finalize_fns(forward, inverse)
-            return
 
         # Default path: ONE lax.scan over the transform stack. The
         # per-transform parameters, masks and inverse dim orders are

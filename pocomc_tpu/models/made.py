@@ -8,8 +8,9 @@ max(next_pow2(3*n_dim), 32) — flow.py:49-52). Capacity here matches that.
 Design notes (TPU):
   - masks are static constants baked into the jitted program; the masked
     matmul is `x @ (w * mask)` which XLA fuses into a single MXU matmul
-    with an elementwise pre-multiply (a Pallas fused variant lives in
-    ops/pallas_kernels.py for large hidden sizes),
+    with an elementwise pre-multiply (hand-written Pallas variants were
+    measured at parity or worse and deleted; RESULTS.md "Pallas
+    postmortem"),
   - residual connections on the equal-width hidden layers preserve the
     autoregressive degree structure (identity keeps degrees),
   - the final layer is zero-initialized so every flow starts at the

@@ -61,6 +61,26 @@ def rqs_n_params(bins: int) -> int:
     return 3 * bins - 1
 
 
+def _cumsum_last(a, k: int):
+    """Cumulative sum over a small trailing axis as an upper-triangular
+    matmul. Equivalent to jnp.cumsum(a, -1) for k lanes, but lowers
+    everywhere (Pallas TPU has no cumsum primitive) and is a single
+    fused contraction for the k <= 9 spline axes used here. The
+    triangular mask is built from iotas, not a materialized constant —
+    Pallas kernels reject captured device arrays."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    tri = (r <= c).astype(a.dtype)
+    return jnp.dot(a, tri, preferred_element_type=a.dtype)
+
+
+def _set_last(a, value):
+    """a.at[..., -1].set(value) as an iota-mask select (Pallas TPU has no
+    scatter primitive; XLA fuses this identically)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    return jnp.where(idx == a.shape[-1] - 1, jnp.asarray(value, a.dtype), a)
+
+
 def _rqs_setup(params, bins: int):
     """Raw params (..., 3*bins-1) -> knot positions and derivatives."""
     B = SPLINE_BOUND
@@ -73,12 +93,12 @@ def _rqs_setup(params, bins: int):
     widths = widths * 2 * B
     heights = heights * 2 * B
 
-    cw = jnp.cumsum(widths, axis=-1)
+    cw = _cumsum_last(widths, bins)
     xk = jnp.concatenate([jnp.full_like(cw[..., :1], -B), cw - B], axis=-1)
-    xk = xk.at[..., -1].set(B)
-    ch = jnp.cumsum(heights, axis=-1)
+    xk = _set_last(xk, B)
+    ch = _cumsum_last(heights, bins)
     yk = jnp.concatenate([jnp.full_like(ch[..., :1], -B), ch - B], axis=-1)
-    yk = yk.at[..., -1].set(B)
+    yk = _set_last(yk, B)
 
     inner = MIN_DERIV + jax.nn.softplus(d_raw + _SOFTPLUS_INV_1)
     ones = jnp.ones_like(inner[..., :1])
