@@ -1421,10 +1421,18 @@ class Sampler:
         self.load_state_dict(runtime)
 
     def save_state(self, path):
-        """Atomic checkpoint write (temp + flush + fsync + rename, as the
-        reference does for NFS safety at sampler.py:1031-1049)."""
+        """Checkpoint write. Default: atomic pickle (temp + flush + fsync
+        + rename, as the reference does for NFS safety at
+        sampler.py:1031-1049). A path ending in '.orbax' selects the
+        orbax/tensorstore directory format instead
+        (utils/checkpoint.py) — mmap-able and inspectable, the TPU
+        ecosystem standard."""
         path = Path(path)
         print(f"Saving PMC state to {path}")
+        from .utils.checkpoint import is_orbax_path, save_orbax
+        if is_orbax_path(path):
+            save_orbax(self.state_dict(), path)
+            return
         path.parent.mkdir(parents=True, exist_ok=True)
         temp_path = path.with_suffix(".temp")
         with open(temp_path, "wb") as f:
@@ -1434,6 +1442,10 @@ class Sampler:
         os.rename(temp_path, path)
 
     def load_state(self, path):
+        from .utils.checkpoint import is_orbax_path, load_orbax
+        if is_orbax_path(path):
+            self.load_state_dict(load_orbax(path))
+            return
         with open(path, "rb") as f:
             state = pickle.load(f)
         self.load_state_dict(state)

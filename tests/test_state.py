@@ -93,3 +93,32 @@ def test_sampler_pickle_roundtrip(tmp_path):
     assert lz1 == pytest.approx(lz2)
     s2.run(n_total=512, n_evidence=0, progress=False)
     assert s2.t > s.t
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """'.orbax' paths select the orbax/tensorstore directory format
+    (utils/checkpoint.py); state round-trips exactly, including the
+    128-bit PCG64 RNG state through the JSON sidecar."""
+    import jax.numpy as jnp
+    import pocomc_tpu as pc
+
+    prior = pc.Prior([pc.Normal(0, 3), pc.Normal(0, 3)])
+    ll = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    s = pc.Sampler(prior, ll, vectorize=True, random_state=0,
+                   n_effective=128, n_active=64, precondition=True,
+                   flow="nsf3", train_config={"epochs": 20, "patience": 3})
+    s.run(n_total=256, n_evidence=256, progress=False)
+    p = tmp_path / "run.orbax"
+    s.save_state(p)
+    assert (p / "arrays").exists() and (p / "meta").exists()
+
+    s2 = pc.Sampler(prior, ll, vectorize=True, random_state=1,
+                    n_effective=128, n_active=64, precondition=True,
+                    flow="nsf3", train_config={"epochs": 20, "patience": 3})
+    s2.load_state(p)
+    assert s2.t == s.t and s2.calls == s.calls
+    assert s2._rng.bit_generator.state == s._rng.bit_generator.state
+    np.testing.assert_allclose(s2.particles.get("x"), s.particles.get("x"))
+    x1, _, _, _ = s.posterior()
+    x2, _, _, _ = s2.posterior()
+    np.testing.assert_allclose(x1, x2)
