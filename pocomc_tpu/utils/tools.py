@@ -65,8 +65,13 @@ def enable_compile_cache(path=None):
     if str(path).lower() in ("0", "off", "false", "no"):
         return None
     if path is None:
+        # one cache dir per backend: artifacts written by a process on a
+        # different backend (e.g. a remote-TPU plugin whose CPU client
+        # carries different XLA feature flags) otherwise load with noisy
+        # AOT feature-mismatch errors
         path = os.path.join(os.path.expanduser("~"), ".cache",
-                            "pocomc_tpu", "xla_cache")
+                            "pocomc_tpu",
+                            f"xla_cache-{jax.default_backend()}")
     existing = getattr(jax.config, "jax_compilation_cache_dir", None)
     if existing:
         return existing
