@@ -1238,11 +1238,15 @@ class Sampler:
                 f"Flow importance-sampling evidence is unreliable: the "
                 f"Pareto tail-shape diagnostic k-hat={khat:.2f} exceeds 0.7 "
                 f"(importance ratios have effectively infinite variance; "
-                f"even Pareto smoothing cannot rescue the estimate). The "
+                f"even Pareto smoothing cannot rescue the estimate, and the "
+                f"quoted logz_err understates the true error). The "
                 f"preconditioner under-covers the posterior -- increase "
                 f"n_effective, use a larger flow (e.g. flow='nsf12'), or "
-                f"train longer (train_config['patience']). The quoted "
-                f"logz_err understates the true error.", RuntimeWarning)
+                f"train longer (train_config['patience']). If k-hat stays "
+                f"high (structural at high dimension / strong correlation), "
+                f"prefer the SMC persistent-sampling evidence instead: "
+                f"run(..., n_evidence=0) -- it has no importance-ratio "
+                f"tail.", RuntimeWarning)
         elif khat is not None and khat > 0.5 and method == "is":
             warnings.warn(
                 f"Flow importance-sampling ratios are heavy-tailed "
