@@ -40,6 +40,68 @@ def _next_pow2(n: int) -> int:
     return 1 if n <= 0 else 2 ** ((n - 1).bit_length())
 
 
+def identity_pre(n_dim: int) -> dict:
+    """Identity parameters for the affine whitening pre-transform.
+
+    Conventions: forward `y = (x - mean) @ w_fwd` with
+    `w_fwd = inv(L).T` for `L = chol(weighted cov)`; inverse
+    `x = y @ w_inv + mean` with `w_inv = L.T`; `ladj` is the constant
+    forward log|det dy/dx| = -sum(log diag L).
+    """
+    return dict(mean=np.zeros(n_dim, np.float32),
+                w_fwd=np.eye(n_dim, dtype=np.float32),
+                w_inv=np.eye(n_dim, dtype=np.float32),
+                ladj=np.float32(0.0))
+
+
+def fit_pre_numpy(x, w, prev_pre, rel_eps=1e-6):
+    """Closed-form weighted whitening fit (host numpy).
+
+    Falls back to `prev_pre` when the weighted covariance is not
+    positive definite (degenerate weights / too few samples).
+    """
+    n_dim = x.shape[-1]
+    wsum = float(np.sum(w))
+    if not np.isfinite(wsum) or wsum <= 0 or x.shape[0] <= n_dim:
+        return prev_pre
+    wn = (w / wsum).astype(np.float64)
+    xf = x.astype(np.float64)
+    mean = wn @ xf
+    xc = xf - mean
+    cov = (xc * wn[:, None]).T @ xc
+    cov += (rel_eps * np.trace(cov) / n_dim + 1e-12) * np.eye(n_dim)
+    try:
+        chol = np.linalg.cholesky(cov)
+    except np.linalg.LinAlgError:
+        return prev_pre
+    if not np.all(np.isfinite(chol)):
+        return prev_pre
+    chol_inv = np.linalg.solve(chol, np.eye(n_dim))
+    return dict(mean=mean.astype(np.float32),
+                w_fwd=chol_inv.T.astype(np.float32),
+                w_inv=chol.T.astype(np.float32),
+                ladj=np.float32(-np.sum(np.log(np.diag(chol)))))
+
+
+def fit_pre_jax(x, w, rel_eps=1e-6):
+    """Traceable weighted whitening fit (same conventions as
+    `fit_pre_numpy`; identity fallback on a non-finite Cholesky)."""
+    n_dim = x.shape[-1]
+    eye = jnp.eye(n_dim, dtype=x.dtype)
+    wn = w / jnp.maximum(jnp.sum(w), 1e-30)
+    mean = wn @ x
+    xc = x - mean
+    cov = (xc * wn[:, None]).T @ xc
+    cov = cov + (rel_eps * jnp.trace(cov) / n_dim + 1e-12) * eye
+    chol = jnp.linalg.cholesky(cov)
+    ok = jnp.all(jnp.isfinite(chol))
+    chol = jnp.where(ok, chol, eye)
+    chol_inv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
+    return dict(mean=jnp.where(ok, mean, jnp.zeros_like(mean)),
+                w_fwd=chol_inv.T, w_inv=chol.T,
+                ladj=-jnp.sum(jnp.log(jnp.diagonal(chol))))
+
+
 _ARCHS = {
     "maf3": ("maf", 3), "maf6": ("maf", 6), "maf12": ("maf", 12),
     "nsf3": ("nsf", 3), "nsf6": ("nsf", 6), "nsf12": ("nsf", 12),
@@ -65,10 +127,15 @@ class Flow:
 
     def __init__(self, n_dim: int, flow: str = "nsf6", bins: int = 8,
                  seed: int = 0, use_pallas: bool | str = "auto",
-                 use_pallas_inverse: bool | str = "auto"):
+                 use_pallas_inverse: bool | str = "auto",
+                 whiten: bool | str = True):
         if flow not in _ARCHS:
             raise ValueError(
                 f"Invalid flow {flow!r}. Choose from {sorted(_ARCHS)}.")
+        if whiten not in (True, False, None, "none", "full"):
+            raise ValueError(
+                f"Invalid whiten {whiten!r}. Choose True/'full' or "
+                f"False/'none'.")
         # Pallas kernels for the MADE passes were built and measured in
         # rounds 1-2 and DELETED per the parity-code-is-debt rule; the
         # flags are accepted and ignored so configs that set them keep
@@ -86,6 +153,14 @@ class Flow:
         # "Pallas postmortem" has the full numbers.
         self.use_pallas = False
         self.use_pallas_inverse = False
+        # Weighted full-covariance whitening pre-transform, refit from the
+        # live (weighted) training set at every `fit`. The autoregressive
+        # stack fits in whitened space, so rotated / ill-conditioned
+        # targets (which the per-dim spline tails cannot carry — see
+        # RESULTS.md "50-D evidence tail study") reduce to near-isotropic
+        # ones. The reference has no analog: its scaler whitens once on
+        # prior samples only (/root/reference/pocomc/sampler.py:438-440).
+        self.whiten = whiten in (True, "full")
         self.n_dim = int(n_dim)
         self.kind, self.n_transforms = _ARCHS[flow]
         self.bins = int(bins)
@@ -139,7 +214,11 @@ class Flow:
                               for t in range(self.n_transforms)])
                  for k in ("w", "b")}
                 for l in range(n_layers)]
-        self.params = jax.device_put(self.params)
+        # params = {"pre": affine whitening map, "stack": transform stack}.
+        # pre is identity until the first whitening fit; it is NOT trained
+        # by gradient descent (fit recomputes it in closed form).
+        self.params = jax.device_put(
+            {"pre": identity_pre(self.n_dim), "stack": self.params})
 
         self._config_key = (self.n_dim, self.kind, self.n_transforms,
                             self.bins, tuple(self.hidden_sizes))
@@ -149,12 +228,14 @@ class Flow:
             _PROGRAM_CACHE[self._config_key] = dict(
                 forward=self._forward, inverse=self._inverse,
                 log_prob=self._log_prob, sample=self._sample,
+                stack_log_prob=self._stack_log_prob,
                 forward_jit=self._forward_jit, inverse_jit=self._inverse_jit,
                 log_prob_jit=self._log_prob_jit, sample_jit=self._sample_jit,
                 kernel_fwd=self.kernel_fwd, kernel_inv=self.kernel_inv,
                 tx_cache={}, chunk_cache={})
         else:
             self._forward = cached["forward"]
+            self._stack_log_prob = cached["stack_log_prob"]
             self._inverse = cached["inverse"]
             self._log_prob = cached["log_prob"]
             self._sample = cached["sample"]
@@ -271,14 +352,34 @@ class Flow:
 
         self._finalize_fns(forward, inverse)
 
-    def _finalize_fns(self, forward, inverse):
-        """Shared density / sampling / jit / kernel-contract wrappers."""
+    def _finalize_fns(self, stack_forward, stack_inverse):
+        """Shared density / sampling / jit / kernel-contract wrappers.
+
+        `stack_forward`/`stack_inverse` operate on the transform stack
+        only; the public functions compose the affine whitening `pre`
+        layer around them (see `identity_pre` for conventions)."""
         n_dim = self.n_dim
 
-        def log_prob(params, x):
-            z, ladj = forward(params, x)
+        def forward(params, x):
+            pre = params["pre"]
+            y = (x - pre["mean"]) @ pre["w_fwd"]
+            z, ladj = stack_forward(params["stack"], y)
+            return z, ladj + pre["ladj"]
+
+        def inverse(params, z):
+            pre = params["pre"]
+            y, ladj = stack_inverse(params["stack"], z)
+            return y @ pre["w_inv"] + pre["mean"], ladj - pre["ladj"]
+
+        def stack_log_prob(stack, y):
+            z, ladj = stack_forward(stack, y)
             base = -0.5 * jnp.sum(z * z, axis=-1) - 0.5 * n_dim * math.log(2 * math.pi)
             return base + ladj
+
+        def log_prob(params, x):
+            pre = params["pre"]
+            y = (x - pre["mean"]) @ pre["w_fwd"]
+            return stack_log_prob(params["stack"], y) + pre["ladj"]
 
         def sample(params, key, size):
             z = jax.random.normal(key, (size, n_dim))
@@ -288,6 +389,7 @@ class Flow:
 
         self._forward = forward
         self._inverse = inverse
+        self._stack_log_prob = stack_log_prob
         self._log_prob = log_prob
         self._sample = sample
         self._forward_jit = jax.jit(forward)
@@ -338,7 +440,12 @@ class Flow:
                 and path[-1].key == "w"]
 
     def _loss_fn(self, params, xb, wb, laplace_scale, gaussian_scale):
-        logq = self._log_prob(params, xb)
+        """Weighted NLL of the transform STACK on pre-whitened inputs.
+
+        The whitening layer's constant ladj is omitted: it shifts the
+        loss uniformly and cannot change gradients or best-epoch
+        selection within a fit."""
+        logq = self._stack_log_prob(params, xb)
         loss = jnp.sum(-logq * wb * 1000.0) / jnp.maximum(jnp.sum(wb), 1e-30)
         if laplace_scale is not None or gaussian_scale is not None:
             reg = 0.0
@@ -375,6 +482,14 @@ class Flow:
             w_all = np.full((n_samples,), 1.0 / n_samples, dtype=np.float32)
         else:
             w_all = np.asarray(jax.device_get(weights), dtype=np.float32)
+
+        # Refit the whitening pre-layer on the weighted training set, then
+        # map the data through it — the stack trains in whitened space.
+        pre = jax.tree_util.tree_map(np.asarray,
+                                     jax.device_get(self.params["pre"]))
+        if self.whiten:
+            pre = fit_pre_numpy(x, w_all, pre)
+        x = (x - pre["mean"]) @ pre["w_fwd"]
 
         rng = np.random.default_rng(seed)
         if shuffle:
@@ -452,11 +567,11 @@ class Flow:
             # mesh; parameter grads all-reduce automatically under jit
             x_train = mesh.shard_particles(x_train)
             w_train = mesh.shard_particles(w_train)
-            params = mesh.replicate(self.params)
+            params = mesh.replicate(self.params["stack"])
         else:
             x_train = jnp.asarray(x_train)
             w_train = jnp.asarray(w_train)
-            params = self.params
+            params = self.params["stack"]
 
         # Optimizer and compiled chunk programs are cached on the instance:
         # `fit` is called once per SMC iteration and redefining the jitted
@@ -593,8 +708,9 @@ class Flow:
                 print(f"Trained {n_done} epochs; best {monitor} "
                       f"{float(carry[4]):.3f} at epoch {int(carry[5])}")
             params, best_params, best_loss = carry[0], carry[3], carry[4]
-            self.params = (best_params if np.isfinite(float(best_loss))
-                           else params)
+            stack = (best_params if np.isfinite(float(best_loss))
+                     else params)
+            self.params = {"pre": jax.device_put(pre), "stack": stack}
             return history
 
         epochs_done = 0
@@ -630,7 +746,8 @@ class Flow:
                 break
 
         params, best_params, best_loss = carry[0], carry[3], carry[4]
-        self.params = best_params if np.isfinite(float(best_loss)) else params
+        stack = best_params if np.isfinite(float(best_loss)) else params
+        self.params = {"pre": jax.device_put(pre), "stack": stack}
         return history
 
 

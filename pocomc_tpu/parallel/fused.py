@@ -44,6 +44,7 @@ from ..ops.weights import (compute_logw_and_logz_jax, ess_jax, uss_jax,
                            trim_weights_jax)
 from ..ops.resampling import systematic_resample_jax, multinomial_resample_jax
 from ..models.geometry import _fit_geometry_impl
+from ..models.flow import fit_pre_jax
 
 
 class DeviceHistory(NamedTuple):
@@ -246,12 +247,26 @@ def make_train_program(flow, n_select: int, batch_size: int,
     loss_fn = partial(flow._loss_fn, laplace_scale=laplace_scale,
                       gaussian_scale=gaussian_scale)
 
+    whiten = bool(getattr(flow, "whiten", False))
+
     def train(params, u_sel, w_sel, seed):
         key = jax.random.key(seed)
         k_shuf, k_epochs, k_geom = jax.random.split(key, 3)
 
+        # Stock Flow params split into a closed-form whitening pre-layer
+        # and the gradient-trained stack (Flow.fit does the same split);
+        # custom device-ready flows without that split train whole.
+        has_pre = (isinstance(params, dict) and "pre" in params
+                   and "stack" in params)
+        if has_pre:
+            pre = fit_pre_jax(u_sel, w_sel) if whiten else params["pre"]
+            u_in = (u_sel - pre["mean"]) @ pre["w_fwd"]
+            params = params["stack"]
+        else:
+            pre, u_in = None, u_sel
+
         perm = jax.random.permutation(k_shuf, n_select)
-        xs, ws = u_sel[perm], w_sel[perm]
+        xs, ws = u_in[perm], w_sel[perm]
         wrap = jnp.arange(n_rows) % n_train
         xt = xs[:n_train][wrap]
         wt = jnp.where(jnp.arange(n_rows) < n_train, ws[:n_train][wrap], 0.0)
@@ -302,14 +317,16 @@ def make_train_program(flow, n_select: int, batch_size: int,
         best_params = jax.tree_util.tree_map(
             lambda a, b: jnp.where(jnp.isfinite(best_loss), a, b),
             best_params, raw_params)
+        full_params = ({"pre": pre, "stack": best_params} if has_pre
+                       else best_params)
 
         # proposal geometry in flow-latent space on the SAME weighted set
         # (reference sampler.py:671-672): weighted moments + Student-t EM
-        theta, _ = flow._forward(best_params, u_sel)
+        theta, _ = flow._forward(full_params, u_sel)
         geom = _fit_geometry_impl(theta, w_sel, k_geom)
 
         stats = jnp.stack([n_done.astype(jnp.float32), best_loss])
-        return best_params, geom, stats
+        return full_params, geom, stats
 
     return jax.jit(train)
 

@@ -480,7 +480,7 @@ class Sampler:
             self.plateau_z,
             self.sample, self.preconditioned, self.metric, self.dynamic,
             float(self.dynamic_ratio), self.resample,
-            self.flow._config_key,
+            self.flow._config_key, getattr(self.flow, "whiten", None),
             sc.transform, sc.scale, sc.diagonal,
             np.asarray(sc.low).tobytes(), np.asarray(sc.high).tobytes(),
             np.asarray(sc.mask_periodic).tobytes(),
@@ -1384,7 +1384,7 @@ class Sampler:
         if isinstance(self.flow, Flow):
             state["_flow_config"] = (self.flow.n_dim,
                                      f"{self.flow.kind}{self.flow.n_transforms}",
-                                     self.flow.bins)
+                                     self.flow.bins, self.flow.whiten)
         else:
             # custom flow object (docs/flows.md): pickled whole — the
             # protocol requires custom flows to be picklable for
@@ -1414,8 +1414,9 @@ class Sampler:
         self._rng = np.random.default_rng(0)
         self._key = jax.random.key(0)
         if flow_config is not None:
-            n_dim, arch, bins = flow_config
-            self.flow = Flow(n_dim, arch, bins=bins)
+            # 3-tuple accepted for pre-whitening checkpoint compatibility
+            n_dim, arch, bins, whiten = (tuple(flow_config) + (True,))[:4]
+            self.flow = Flow(n_dim, arch, bins=bins, whiten=whiten)
         else:
             self.flow = flow_obj
         self.scaler = Reparameterize(**scaler_cfg)
