@@ -1241,12 +1241,14 @@ class Sampler:
                 f"even Pareto smoothing cannot rescue the estimate, and the "
                 f"quoted logz_err understates the true error). The "
                 f"preconditioner under-covers the posterior -- increase "
-                f"n_effective, use a larger flow (e.g. flow='nsf12'), or "
-                f"train longer (train_config['patience']). If k-hat stays "
-                f"high (structural at high dimension / strong correlation), "
-                f"prefer the SMC persistent-sampling evidence instead: "
-                f"run(..., n_evidence=0) -- it has no importance-ratio "
-                f"tail.", RuntimeWarning)
+                f"n_effective, use a larger flow (e.g. flow='nsf12'), train "
+                f"longer (train_config['patience']), and keep the flow's "
+                f"whitening pre-transform on (Flow(..., whiten=True), the "
+                f"default -- it removes rotated/ill-conditioned linear "
+                f"structure the spline tails cannot carry). If k-hat stays "
+                f"high, prefer the SMC persistent-sampling evidence "
+                f"instead: run(..., n_evidence=0) -- it has no "
+                f"importance-ratio tail.", RuntimeWarning)
         elif khat is not None and khat > 0.5 and method == "is":
             warnings.warn(
                 f"Flow importance-sampling ratios are heavy-tailed "
