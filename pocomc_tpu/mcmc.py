@@ -31,6 +31,7 @@ from typing import NamedTuple, Callable
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
 
 
 class SweepState(NamedTuple):
@@ -43,6 +44,7 @@ class SweepState(NamedTuple):
     logdetj_flow: jnp.ndarray   # log|det du/dtheta| at current state
     sigma: jnp.ndarray
     mu: jnp.ndarray
+    grad: jnp.ndarray           # v-space target gradient (MALA; else zeros)
     i: jnp.ndarray              # step counter
     cnt: jnp.ndarray            # plateau counter
     logp2: jnp.ndarray          # best plateau metric so far
@@ -128,13 +130,18 @@ def make_sweep(
     flow_params=None) -> results dict. `geom` is the dict produced by
     models.geometry.fit_geometry_jax.
     """
-    if kind not in ("tpcn", "rwm"):
+    if kind not in ("tpcn", "rwm", "mala"):
         raise ValueError(f"Invalid kernel kind {kind!r}")
     if preconditioned and (flow_fwd is None or flow_inv is None):
         raise ValueError("preconditioned sweep needs flow_fwd/flow_inv")
 
     sqrt_d_scale = 2.38 / math.sqrt(n_dim)
     sigma_cap = min(sqrt_d_scale, 0.99)
+    # MALA (beyond-reference, TPU-native: gradients via autodiff through
+    # the composed flow/scaler/likelihood program): optimal acceptance
+    # 0.574 (Roberts & Rosenthal 1998) vs 0.234 for the random-walk
+    # kernels; requires a traceable likelihood (the sampler gates this).
+    accept_target = 0.574 if kind == "mala" else 0.234
 
     def _to_x(v_prime, flow_params, scaler_params):
         """Map proposal in sampling space back to (u', x', logdetj',
@@ -155,11 +162,43 @@ def make_sweep(
                                                 params=scaler_params)
         return u_prime, x_prime, ldj_prime, theta_prime, ldjf_prime
 
+    def _target_sum(v, beta, fallback_x, flow_params, scaler_params):
+        """Scalar total v-space log-target with per-row components as aux,
+        for ONE joint value-and-gradient pass (jax.vjp has_aux) — the MALA
+        step gets the Metropolis components and the gradient from a single
+        likelihood evaluation. Out-of-support rows get -inf values but
+        contribute zero (never NaN) to the gradient: every sub-evaluation
+        runs on sanitized inputs and masked rows are excluded from the
+        sum (their cotangent is zero)."""
+        u_p, x_p, ldj_p, theta_p, ldjf_p = _to_x(v, flow_params,
+                                                 scaler_params)
+        finite = jnp.isfinite(ldj_p) & jnp.all(jnp.isfinite(x_p), axis=1)
+        x_safe = jnp.where(finite[:, None], x_p, fallback_x)
+        logp = jnp.where(finite, log_prior(x_safe), -jnp.inf)
+        finite = finite & jnp.isfinite(logp)
+        logl = log_like(x_safe, finite)
+        logt = beta * logl + logp + ldj_p + ldjf_p
+        ok = finite & jnp.isfinite(logl)
+        total = jnp.sum(jnp.where(ok, logt, 0.0))
+        return total, (u_p, x_p, x_safe, ldj_p, theta_p, ldjf_p, logp,
+                       logl, finite)
+
+    def _grad_target(v, beta, fallback_x, flow_params, scaler_params):
+        """(grad, aux) of the v-space log-target; grad sanitized to 0 on
+        non-finite rows (those proposals are rejected anyway)."""
+        primal, vjp_fn, aux = jax.vjp(
+            lambda vv: _target_sum(vv, beta, fallback_x, flow_params,
+                                   scaler_params), v, has_aux=True)
+        g = vjp_fn(jnp.asarray(1.0, primal.dtype))[0]
+        return jnp.where(jnp.isfinite(g), g, 0.0), aux
+
     def propose(st: SweepState, beta, geom, flow_params,
                 scaler_params=None):
         """Draw proposals and compute everything that does NOT require the
         likelihood: proposal points in all three spaces, Jacobians, prior,
-        finite masks, Student-t quadratic forms, fresh RNG key."""
+        finite masks, Student-t quadratic forms, fresh RNG key. (The MALA
+        branch is the exception: its gradient pass evaluates the traced
+        likelihood, so the proposal's logl rides along in the dict.)"""
         inv_cov = geom.get("t_inv_cov")
         t_chol = geom.get("t_chol")
         nu = geom.get("t_nu")
@@ -168,6 +207,35 @@ def make_sweep(
         key, k_gamma, k_norm, k_unif = jax.random.split(st.key, 4)
         n = st.u.shape[0]
         cur = st.theta if preconditioned else st.u
+
+        if kind == "mala":
+            # preconditioned Langevin: mass matrix M = geometry normal
+            # covariance (M = L L^T), drift (sigma^2/2) M grad, noise
+            # sigma L z; asymmetric-proposal Metropolis correction below.
+            q = jnp.zeros(n, cur.dtype)
+            drift = 0.5 * st.sigma**2 * ((st.grad @ n_chol) @ n_chol.T)
+            z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
+            v_prime = cur + drift + st.sigma * (z @ n_chol.T)
+
+            grad_p, aux = _grad_target(v_prime, beta, st.x, flow_params,
+                                       scaler_params)
+            u_p, x_p, x_safe, ldj_p, theta_p, ldjf_p, logp_p, logl_p, \
+                finite = aux
+            # log q(v|v') - log q(v'|v), both N(.; center, sigma^2 M):
+            # forward residual is sigma L z by construction
+            drift_p = 0.5 * st.sigma**2 * ((grad_p @ n_chol) @ n_chol.T)
+            r = cur - v_prime - drift_p
+            w = solve_triangular(n_chol, r.T, lower=True).T
+            corr = (-0.5 * jnp.sum(w * w, axis=-1) / st.sigma**2
+                    + 0.5 * jnp.sum(z * z, axis=-1))
+            # `finite` stays the pre-likelihood mask: call counting must
+            # include rows whose likelihood evaluated to -inf (reference
+            # mcmc.py:113-121 semantics)
+            return dict(u=u_p, x=x_p, x_safe=x_safe, logdetj=ldj_p,
+                        theta=theta_p, logdetj_flow=ldjf_p, logp=logp_p,
+                        finite=finite, q=q, qp=q,
+                        corr=corr, grad=grad_p, logl=logl_p,
+                        k_unif=k_unif, key=key)
 
         if kind == "tpcn":
             diff = cur - st.mu
@@ -219,6 +287,8 @@ def make_sweep(
             A = -half * jnp.log1p(prop["qp"] / nu)
             B = -half * jnp.log1p(prop["q"] / nu)
             log_ratio = log_ratio - A + B
+        elif kind == "mala":
+            log_ratio = log_ratio + prop["corr"]
 
         alpha = jnp.minimum(1.0, jnp.exp(log_ratio))
         alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
@@ -232,21 +302,28 @@ def make_sweep(
         logp = sel(prop["logp"], st.logp)
         theta = sel(prop["theta"], st.theta)
         ldjf = sel(prop["logdetj_flow"], st.logdetj_flow)
+        grad = sel(prop["grad"], st.grad) if kind == "mala" else st.grad
 
         alpha_mean = jnp.mean(alpha)
         if kind == "tpcn":
             # diminishing adaptation, capped (reference mcmc.py:152)
             sigma = jnp.abs(jnp.minimum(
-                st.sigma + (alpha_mean - 0.234) / i1**0.75, sigma_cap))
+                st.sigma + (alpha_mean - accept_target) / i1**0.75, sigma_cap))
             if preconditioned:
                 mu = st.mu + (jnp.mean(theta, axis=0) - st.mu) / i1
             else:
                 mu = st.mu
+        elif kind == "mala":
+            # uncapped: MALA's optimal step scale is problem-dependent
+            # (~d^{-1/6} in the iid limit), not the RW 2.38/sqrt(d)
+            sigma = jnp.abs(st.sigma
+                            + (alpha_mean - accept_target) / i1**0.75)
+            mu = st.mu
         else:
             if preconditioned:
-                sigma = st.sigma + (alpha_mean - 0.234) / i1
+                sigma = st.sigma + (alpha_mean - accept_target) / i1
             else:
-                sigma = jnp.abs(st.sigma + (alpha_mean - 0.234) / i1)
+                sigma = jnp.abs(st.sigma + (alpha_mean - accept_target) / i1)
             mu = st.mu
 
         # plateau metric: rwm variants include logdetj (mcmc.py:243,561)
@@ -271,29 +348,36 @@ def make_sweep(
         logp2 = jnp.maximum(st.logp2, metric)
 
         new_st = SweepState(u, x, logdetj, logl, logp, theta, ldjf,
-                            sigma, mu, st.i + 1, cnt, logp2, calls,
+                            sigma, mu, grad, st.i + 1, cnt, logp2, calls,
                             alpha_mean, prop["key"])
         stats = jnp.stack([new_st.i.astype(sigma.dtype),
                            cnt.astype(sigma.dtype), sigma, alpha_mean])
         return new_st, accept, stats
 
     def cond(st: SweepState) -> jnp.ndarray:
-        ratio = sqrt_d_scale / st.sigma
-        if kind == "rwm" and preconditioned:
-            ratio = jnp.minimum(1.0, ratio)
-        thresh = n_steps * ratio**2
+        if kind == "mala":
+            # sigma has Langevin-step units, not RW units: the
+            # (2.38/sqrt(d) / sigma)^2 window stretch is meaningless here
+            thresh = jnp.asarray(n_steps, st.sigma.dtype)
+        else:
+            ratio = sqrt_d_scale / st.sigma
+            if kind == "rwm" and preconditioned:
+                ratio = jnp.minimum(1.0, ratio)
+            thresh = n_steps * ratio**2
         keep = (st.cnt < thresh) & (st.i < n_max)
         return (st.i == 0) | keep
 
     def should_continue(i, cnt, sigma) -> bool:
         """Host-side copy of `cond` for the stepped driver."""
+        if kind == "mala":
+            return (i == 0) or (cnt < n_steps and i < n_max)
         ratio = sqrt_d_scale / sigma
         if kind == "rwm" and preconditioned:
             ratio = min(1.0, ratio)
         return (i == 0) or (cnt < n_steps * ratio**2 and i < n_max)
 
     def init_state(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
-                   flow_params=None):
+                   flow_params=None, scaler_params=None):
         n = u.shape[0]
         dtype = u.dtype
         if preconditioned:
@@ -308,6 +392,17 @@ def make_sweep(
         else:
             mu0 = jnp.zeros(n_dim, dtype)
 
+        calls0 = jnp.asarray(
+            0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+        if kind == "mala":
+            # initial-point gradient; the extra likelihood pass is counted
+            v0 = theta0 if preconditioned else u
+            grad0, aux0 = _grad_target(v0, beta, x, flow_params,
+                                       scaler_params)
+            calls0 = calls0 + jnp.sum(aux0[-1]).astype(calls0.dtype)
+        else:
+            grad0 = jnp.zeros_like(u)
+
         metric0 = jnp.mean(logl + logp)
         if kind == "rwm":
             metric0 = jnp.mean(logl + logp + logdetj)
@@ -316,9 +411,10 @@ def make_sweep(
             u=u, x=x, logdetj=logdetj, logl=logl, logp=logp,
             theta=theta0, logdetj_flow=ldjf0,
             sigma=jnp.asarray(sigma0, dtype), mu=mu0.astype(dtype),
+            grad=grad0,
             i=jnp.asarray(0, jnp.int32), cnt=jnp.asarray(0, jnp.int32),
             logp2=metric0,
-            calls=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+            calls=calls0,
             accept=jnp.asarray(0.0, dtype), key=key,
         )
 
@@ -332,11 +428,13 @@ def make_sweep(
     def _sweep_impl(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
                     flow_params=None, scaler_params=None):
         init = init_state(u, x, logdetj, logl, logp, beta, sigma0, geom,
-                          key, flow_params)
+                          key, flow_params, scaler_params)
 
         def body(st: SweepState) -> SweepState:
             prop = propose(st, beta, geom, flow_params, scaler_params)
-            logl_p = log_like(prop["x_safe"], prop["finite"])
+            # MALA evaluated the likelihood inside its gradient pass
+            logl_p = (prop["logl"] if kind == "mala"
+                      else log_like(prop["x_safe"], prop["finite"]))
             new_st, _, _ = accept_update(st, prop, logl_p, beta, geom)
             if live_stats:
                 jax.debug.callback(_live_emit, new_st.i, new_st.cnt,

@@ -54,22 +54,30 @@ def identity_pre(n_dim: int) -> dict:
                 ladj=np.float32(0.0))
 
 
-def fit_pre_numpy(x, w, prev_pre, rel_eps=1e-6):
+def fit_pre_numpy(x, w, prev_pre, rel_eps=1e-6, min_ess=8.0):
     """Closed-form weighted whitening fit (host numpy).
 
     Falls back to `prev_pre` when the weighted covariance is not
-    positive definite (degenerate weights / too few samples).
+    positive definite or the training set is degenerate: weight ESS
+    below `min_ess`, or a (near-)zero covariance — whitening a point
+    mass would amplify the space by the regularization floor's inverse
+    and destroy the flow.
     """
     n_dim = x.shape[-1]
     wsum = float(np.sum(w))
     if not np.isfinite(wsum) or wsum <= 0 or x.shape[0] <= n_dim:
         return prev_pre
     wn = (w / wsum).astype(np.float64)
+    if 1.0 / np.sum(wn * wn) < min_ess:
+        return prev_pre
     xf = x.astype(np.float64)
     mean = wn @ xf
     xc = xf - mean
     cov = (xc * wn[:, None]).T @ xc
-    cov += (rel_eps * np.trace(cov) / n_dim + 1e-12) * np.eye(n_dim)
+    tr = float(np.trace(cov))
+    if not np.isfinite(tr) or tr <= n_dim * 1e-10:
+        return prev_pre
+    cov += (rel_eps * tr / n_dim) * np.eye(n_dim)
     try:
         chol = np.linalg.cholesky(cov)
     except np.linalg.LinAlgError:
@@ -83,18 +91,21 @@ def fit_pre_numpy(x, w, prev_pre, rel_eps=1e-6):
                 ladj=np.float32(-np.sum(np.log(np.diag(chol)))))
 
 
-def fit_pre_jax(x, w, rel_eps=1e-6):
-    """Traceable weighted whitening fit (same conventions as
-    `fit_pre_numpy`; identity fallback on a non-finite Cholesky)."""
+def fit_pre_jax(x, w, rel_eps=1e-6, min_ess=8.0):
+    """Traceable weighted whitening fit (same conventions and degeneracy
+    guards as `fit_pre_numpy`; identity fallback instead of prev_pre)."""
     n_dim = x.shape[-1]
     eye = jnp.eye(n_dim, dtype=x.dtype)
     wn = w / jnp.maximum(jnp.sum(w), 1e-30)
     mean = wn @ x
     xc = x - mean
     cov = (xc * wn[:, None]).T @ xc
-    cov = cov + (rel_eps * jnp.trace(cov) / n_dim + 1e-12) * eye
+    tr = jnp.trace(cov)
+    cov = cov + (rel_eps * tr / n_dim + 1e-12) * eye
     chol = jnp.linalg.cholesky(cov)
-    ok = jnp.all(jnp.isfinite(chol))
+    ok = (jnp.all(jnp.isfinite(chol))
+          & (1.0 / jnp.sum(wn * wn) >= min_ess)
+          & jnp.isfinite(tr) & (tr > n_dim * 1e-10))
     chol = jnp.where(ok, chol, eye)
     chol_inv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
     return dict(mean=jnp.where(ok, mean, jnp.zeros_like(mean)),
@@ -357,29 +368,44 @@ class Flow:
 
         `stack_forward`/`stack_inverse` operate on the transform stack
         only; the public functions compose the affine whitening `pre`
-        layer around them (see `identity_pre` for conventions)."""
+        layer around them (see `identity_pre` for conventions).
+
+        Every flow computation is traced under matmul precision
+        'float32': the TPU default (bf16 inputs) quantizes the MADE
+        activations/spline parameters enough to produce zero-width
+        spline bins, which turns one training epoch into inf/NaN loss.
+        Measured on v5e with a mid-run SMC training set that trains
+        cleanly on CPU and at f32 precision but NaNs at the default
+        precision (RESULTS.md 'bf16 precision postmortem'). The
+        matmuls here are small (h <= a few hundred), so the extra MXU
+        passes are noise against dispatch overhead."""
         n_dim = self.n_dim
 
         def forward(params, x):
-            pre = params["pre"]
-            y = (x - pre["mean"]) @ pre["w_fwd"]
-            z, ladj = stack_forward(params["stack"], y)
-            return z, ladj + pre["ladj"]
+            with jax.default_matmul_precision("float32"):
+                pre = params["pre"]
+                y = (x - pre["mean"]) @ pre["w_fwd"]
+                z, ladj = stack_forward(params["stack"], y)
+                return z, ladj + pre["ladj"]
 
         def inverse(params, z):
-            pre = params["pre"]
-            y, ladj = stack_inverse(params["stack"], z)
-            return y @ pre["w_inv"] + pre["mean"], ladj - pre["ladj"]
+            with jax.default_matmul_precision("float32"):
+                pre = params["pre"]
+                y, ladj = stack_inverse(params["stack"], z)
+                return y @ pre["w_inv"] + pre["mean"], ladj - pre["ladj"]
 
         def stack_log_prob(stack, y):
-            z, ladj = stack_forward(stack, y)
-            base = -0.5 * jnp.sum(z * z, axis=-1) - 0.5 * n_dim * math.log(2 * math.pi)
-            return base + ladj
+            with jax.default_matmul_precision("float32"):
+                z, ladj = stack_forward(stack, y)
+                base = (-0.5 * jnp.sum(z * z, axis=-1)
+                        - 0.5 * n_dim * math.log(2 * math.pi))
+                return base + ladj
 
         def log_prob(params, x):
-            pre = params["pre"]
-            y = (x - pre["mean"]) @ pre["w_fwd"]
-            return stack_log_prob(params["stack"], y) + pre["ladj"]
+            with jax.default_matmul_precision("float32"):
+                pre = params["pre"]
+                y = (x - pre["mean"]) @ pre["w_fwd"]
+                return stack_log_prob(params["stack"], y) + pre["ladj"]
 
         def sample(params, key, size):
             z = jax.random.normal(key, (size, n_dim))
@@ -485,10 +511,9 @@ class Flow:
 
         # Refit the whitening pre-layer on the weighted training set, then
         # map the data through it — the stack trains in whitened space.
-        pre = jax.tree_util.tree_map(np.asarray,
-                                     jax.device_get(self.params["pre"]))
-        if self.whiten:
-            pre = fit_pre_numpy(x, w_all, pre)
+        pre_prev = jax.tree_util.tree_map(np.asarray,
+                                          jax.device_get(self.params["pre"]))
+        pre = fit_pre_numpy(x, w_all, pre_prev) if self.whiten else pre_prev
         x = (x - pre["mean"]) @ pre["w_fwd"]
 
         rng = np.random.default_rng(seed)
@@ -677,6 +702,9 @@ class Flow:
         train_full = self._chunk_cache[full_key]
 
         history = {"loss": [], "val_loss": []}
+        # fallback if no epoch ever reaches a finite monitored loss: keep
+        # the INPUT stack (the trained params are NaN in that case)
+        params_in = params
         monitor = "val_loss" if validation else "loss"
         key = jax.random.key(int(rng.integers(2**31 - 1)))
         lr = learning_rate
@@ -707,10 +735,11 @@ class Flow:
             if verbose > 0:
                 print(f"Trained {n_done} epochs; best {monitor} "
                       f"{float(carry[4]):.3f} at epoch {int(carry[5])}")
-            params, best_params, best_loss = carry[0], carry[3], carry[4]
-            stack = (best_params if np.isfinite(float(best_loss))
-                     else params)
-            self.params = {"pre": jax.device_put(pre), "stack": stack}
+            best_params, best_loss = carry[3], carry[4]
+            ok = np.isfinite(float(best_loss))
+            stack = best_params if ok else params_in
+            self.params = {"pre": jax.device_put(pre if ok else pre_prev),
+                           "stack": stack}
             return history
 
         epochs_done = 0
@@ -745,9 +774,11 @@ class Flow:
                           f"best {monitor} {float(carry[4]):.3f}")
                 break
 
-        params, best_params, best_loss = carry[0], carry[3], carry[4]
-        stack = best_params if np.isfinite(float(best_loss)) else params
-        self.params = {"pre": jax.device_put(pre), "stack": stack}
+        best_params, best_loss = carry[3], carry[4]
+        ok = np.isfinite(float(best_loss))
+        stack = best_params if ok else params_in
+        self.params = {"pre": jax.device_put(pre if ok else pre_prev),
+                       "stack": stack}
         return history
 
 

@@ -259,11 +259,13 @@ def make_train_program(flow, n_select: int, batch_size: int,
         has_pre = (isinstance(params, dict) and "pre" in params
                    and "stack" in params)
         if has_pre:
-            pre = fit_pre_jax(u_sel, w_sel) if whiten else params["pre"]
+            pre_prev = params["pre"]
+            pre = fit_pre_jax(u_sel, w_sel) if whiten else pre_prev
             u_in = (u_sel - pre["mean"]) @ pre["w_fwd"]
             params = params["stack"]
         else:
-            pre, u_in = None, u_sel
+            pre_prev = pre = None
+            u_in = u_sel
 
         perm = jax.random.permutation(k_shuf, n_select)
         xs, ws = u_in[perm], w_sel[perm]
@@ -312,13 +314,24 @@ def make_train_program(flow, n_select: int, batch_size: int,
                   jnp.asarray(jnp.inf, jnp.float32),
                   jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
         final = jax.lax.while_loop(cond, one_epoch, carry0)
-        raw_params, best_params, best_loss = final[0], final[3], final[4]
+        best_params, best_loss = final[3], final[4]
         n_done = final[6]
+        # If no epoch ever reached a finite monitored loss, KEEP THE INPUT
+        # params: the raw post-training params are NaN in that case and a
+        # single such iteration would otherwise poison the flow (and with
+        # it every subsequent proposal) for the rest of the run.
         best_params = jax.tree_util.tree_map(
             lambda a, b: jnp.where(jnp.isfinite(best_loss), a, b),
-            best_params, raw_params)
-        full_params = ({"pre": pre, "stack": best_params} if has_pre
-                       else best_params)
+            best_params, params)
+        if has_pre:
+            # the kept stack matches the pre it was trained against: roll
+            # the refit pre back too if training produced nothing finite
+            pre_out = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(jnp.isfinite(best_loss), a, b),
+                pre, pre_prev)
+            full_params = {"pre": pre_out, "stack": best_params}
+        else:
+            full_params = best_params
 
         # proposal geometry in flow-latent space on the SAME weighted set
         # (reference sampler.py:671-672): weighted moments + Student-t EM

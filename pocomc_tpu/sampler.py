@@ -282,8 +282,14 @@ class Sampler:
         self.dynamic_ratio = unique_sample_size(
             np.ones(self.n_effective), k=self.n_active) / self.n_active
 
-        if sample not in ("tpcn", "rwm"):
-            raise ValueError(f"Invalid sample {sample}. Options are 'tpcn' or 'rwm'.")
+        # 'mala' is beyond-reference: preconditioned Metropolis-adjusted
+        # Langevin with gradients by autodiff through the composed
+        # flow/scaler/likelihood program (mcmc.py kind='mala'); it needs a
+        # JAX-traceable likelihood (checked in _build_device_fns, where
+        # traceability is probed).
+        if sample not in ("tpcn", "rwm", "mala"):
+            raise ValueError(f"Invalid sample {sample}. Options are 'tpcn', "
+                             f"'rwm' or 'mala'.")
         self.sample = sample
 
         self.proposal_scale = 2.38 / math.sqrt(self.n_dim)
@@ -357,6 +363,13 @@ class Sampler:
         else:
             self._like_batch_fn = None
         self.likelihood_traceable = like_traceable
+
+        if self.sample == "mala" and not like_traceable:
+            raise ValueError(
+                "sample='mala' needs gradients of the likelihood, so the "
+                "likelihood must be JAX-traceable (no pools, no blobs; "
+                "see docs/likelihoods.md). Use 'tpcn' or 'rwm' for "
+                "black-box likelihoods.")
 
         if like_traceable:
             loglike_dev = make_loglike_device(self._like_batch_fn, True, True)
@@ -590,8 +603,16 @@ class Sampler:
         self.n_evidence = int(n_evidence)
 
         if self.prior_samples is None:
-            self.prior_samples = np.asarray(
-                self.sample_prior(self.n_prior), dtype=np.float64)
+            # Seed the warmup draw from the sampler RNG: an unseeded
+            # Prior.rvs pulls OS entropy and breaks random_state
+            # reproducibility. Custom priors (duck-typed protocol) may
+            # not accept random_state — fall back to their own stream.
+            seed = int(self._rng.integers(2**31 - 1))
+            try:
+                draws = self.sample_prior(self.n_prior, random_state=seed)
+            except TypeError:
+                draws = self.sample_prior(self.n_prior)
+            self.prior_samples = np.asarray(draws, dtype=np.float64)
             self.scaler.fit(self.prior_samples)
             self._scp_cache = None
 
