@@ -1,0 +1,124 @@
+"""North-star benchmark configs (BASELINE.md / RESULTS.md tables).
+
+Run on the TPU from the repo root:
+
+    python benchmarks/baseline_configs.py [config ...]
+
+Configs: rosenbrock10, gauss50, mixture20, funnel25, cosmo30.
+Analytic truths are computed in-script (quadrature / closed form);
+the chained-Rosenbrock truth -50.033 comes from an 8001-point
+transfer-matrix quadrature (stable under grid refinement).
+"""
+import sys, time
+import numpy as np
+import jax, jax.numpy as jnp
+from scipy.stats import multivariate_normal, norm
+import pocomc_tpu as pc
+
+
+def run(name, prior, loglike, expect, seed=0, **kw):
+    t0 = time.time()
+    s = pc.Sampler(prior, loglike, vectorize=True, random_state=seed, **kw)
+    s.run(n_total=4096, n_evidence=4096, progress=False)
+    wall = time.time() - t0
+    it = int(s.t) if hasattr(s, "t") else -1
+    exp_s = "n/a" if expect is None else f"{expect:.3f}"
+    err = "" if expect is None else f"  err {s.logz - expect:+.3f}"
+    print(f"{name}: wall {wall:.0f}s  iters {it}  calls {s.calls}  "
+          f"logZ {s.logz:.3f} +- {s.logz_err:.3f}  khat {s.evidence_khat:.2f}"
+          f"  analytic {exp_s}{err}", flush=True)
+    return s
+
+
+def rosenbrock10():
+    # chained variant, coeff 100; truth -50.033 by transfer-matrix
+    # quadrature (8001-pt grid, validated stable vs grid refinement)
+    d = 10
+    prior = pc.Prior([pc.Uniform(-10, 10) for _ in range(d)])
+    def loglike(x):
+        return -jnp.sum(100.0 * (x[..., 1:] - x[..., :-1] ** 2) ** 2
+                        + (1.0 - x[..., :-1]) ** 2, axis=-1)
+    run("rosenbrock10-chained (1024 active)", prior, loglike, -50.033,
+        n_effective=2048, n_active=1024)
+
+
+def gauss50():
+    d = 50
+    rng = np.random.default_rng(0)
+    evals = np.logspace(0, 3, d)
+    Q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    cov = (Q * evals) @ Q.T
+    cov_inv_j = jnp.asarray(np.linalg.inv(cov), dtype=jnp.float32)
+    norm_const = -0.5 * (d * np.log(2 * np.pi) + np.linalg.slogdet(cov)[1])
+    def loglike(x):
+        return norm_const - 0.5 * jnp.einsum("ni,ij,nj->n", x, cov_inv_j, x)
+    ps = 100.0
+    prior = pc.Prior([pc.Normal(0, ps) for _ in range(d)])
+    expect = multivariate_normal.logpdf(np.zeros(d), np.zeros(d),
+                                        cov + ps**2 * np.eye(d))
+    run("gauss50 cond1e3 N(0,100)", prior, loglike, expect,
+        n_effective=4096, n_active=2048)
+
+
+def mixture20():
+    d, sep, sig = 20, 2.0, 1.0
+    w1, w2 = 0.7, 0.3
+    m = np.full(d, sep)
+    def loglike(x):
+        l1 = -0.5 * jnp.sum((x - m) ** 2, axis=-1) / sig**2 \
+             - d * jnp.log(np.sqrt(2 * np.pi) * sig)
+        l2 = -0.5 * jnp.sum((x + m) ** 2, axis=-1) / sig**2 \
+             - d * jnp.log(np.sqrt(2 * np.pi) * sig)
+        return jnp.logaddexp(jnp.log(w1) + l1, jnp.log(w2) + l2)
+    ps = 10.0
+    prior = pc.Prior([pc.Normal(0, ps) for _ in range(d)])
+    var = sig**2 + ps**2
+    logcomp = -0.5 * np.sum(m**2) / var - (d / 2) * np.log(2 * np.pi * var)
+    expect = logcomp  # w1+w2 = 1, symmetric modes
+    s = run("mixture20 70/30", prior, loglike, expect,
+            n_effective=2048, n_active=1024)
+    x, w, _, _ = s.posterior()
+    mass1 = float(w[x[:, 0] > 0].sum() / w.sum())
+    print(f"  mode mass recovered {mass1:.3f} (true 0.700)", flush=True)
+
+
+def funnel25():
+    d, sv, half = 25, 3.0, 40.0
+    def loglike(x):
+        v = x[..., 0]
+        y = x[..., 1:]
+        var = jnp.exp(v)
+        return (-0.5 * jnp.sum(y**2, axis=-1) / var
+                - ((d - 1) / 2) * (v + jnp.log(2 * jnp.pi)))
+    prior = pc.Prior([pc.Normal(0, sv)]
+                     + [pc.Uniform(-half, half) for _ in range(d - 1)])
+    expect = (d - 1) * np.log(1.0 / (2 * half))
+    run("funnel25", prior, loglike, expect,
+        n_effective=2048, n_active=1024)
+
+
+def cosmo30():
+    d = 30
+    rng = np.random.default_rng(0)
+    evals = np.logspace(0, 2, d)
+    Q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    cov = (Q * evals) @ Q.T
+    cov_inv_j = jnp.asarray(np.linalg.inv(cov), dtype=jnp.float32)
+    norm_const = -0.5 * (d * np.log(2 * np.pi) + np.linalg.slogdet(cov)[1])
+    def loglike(x):
+        return norm_const - 0.5 * jnp.einsum("ni,ij,nj->n", x, cov_inv_j, x)
+    ps = 20.0
+    prior = pc.Prior([pc.Normal(0, ps) for _ in range(d)])
+    expect = multivariate_normal.logpdf(np.zeros(d), np.zeros(d),
+                                        cov + ps**2 * np.eye(d))
+    run("cosmo30 8192/2048", prior, loglike, expect,
+        n_effective=8192, n_active=2048)
+
+
+ALL = dict(rosenbrock10=rosenbrock10, gauss50=gauss50, mixture20=mixture20,
+           funnel25=funnel25, cosmo30=cosmo30)
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    for n in names:
+        ALL[n]()

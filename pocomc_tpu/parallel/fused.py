@@ -248,6 +248,7 @@ def make_train_program(flow, n_select: int, batch_size: int,
                       gaussian_scale=gaussian_scale)
 
     whiten = bool(getattr(flow, "whiten", False))
+    whiten_mode = getattr(flow, "whiten_mode", "full") or "full"
 
     def train(params, u_sel, w_sel, seed):
         key = jax.random.key(seed)
@@ -260,7 +261,8 @@ def make_train_program(flow, n_select: int, batch_size: int,
                    and "stack" in params)
         if has_pre:
             pre_prev = params["pre"]
-            pre = fit_pre_jax(u_sel, w_sel) if whiten else pre_prev
+            pre = (fit_pre_jax(u_sel, w_sel, mode=whiten_mode)
+                   if whiten else pre_prev)
             u_in = (u_sel - pre["mean"]) @ pre["w_fwd"]
             params = params["stack"]
         else:

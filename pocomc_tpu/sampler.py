@@ -493,7 +493,9 @@ class Sampler:
             self.plateau_z,
             self.sample, self.preconditioned, self.metric, self.dynamic,
             float(self.dynamic_ratio), self.resample,
-            self.flow._config_key, getattr(self.flow, "whiten", None),
+            self.flow._config_key,
+            getattr(self.flow, "whiten_mode",
+                    getattr(self.flow, "whiten", None)),
             sc.transform, sc.scale, sc.diagonal,
             np.asarray(sc.low).tobytes(), np.asarray(sc.high).tobytes(),
             np.asarray(sc.mask_periodic).tobytes(),
@@ -1407,7 +1409,7 @@ class Sampler:
         if isinstance(self.flow, Flow):
             state["_flow_config"] = (self.flow.n_dim,
                                      f"{self.flow.kind}{self.flow.n_transforms}",
-                                     self.flow.bins, self.flow.whiten)
+                                     self.flow.bins, self.flow.whiten_mode)
         else:
             # custom flow object (docs/flows.md): pickled whole — the
             # protocol requires custom flows to be picklable for

@@ -91,7 +91,11 @@ def test_sampler_pickle_roundtrip(tmp_path):
     lz1 = s.particles.compute_logw_and_logz(1.0)[1]
     lz2 = s2.particles.compute_logw_and_logz(1.0)[1]
     assert lz1 == pytest.approx(lz2)
-    s2.run(n_total=512, n_evidence=0, progress=False)
+    # extend with a termination ESS that provably exceeds what the
+    # resumed history can deliver (ESS <= total stored rows), so at
+    # least one more iteration MUST run regardless of the trajectory
+    n_more = s.t * s.n_active + s.n_active
+    s2.run(n_total=n_more, n_evidence=0, progress=False)
     assert s2.t > s.t
 
 

@@ -7,6 +7,8 @@ whitened space refit at every `fit` — the capability the reference lacks
 50-D rotated/ill-conditioned evidence pathology in RESULTS.md.
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -119,6 +121,30 @@ def test_device_train_program_whitens():
                jax.tree_util.tree_leaves(geom))
 
 
+def test_diag_whiten_scales_without_rotation():
+    """'diag' mode: w_fwd is diagonal (no rotation), per-dim variances
+    are normalized, and the jax/numpy fits agree."""
+    x, _ = make_rotated_gaussian(d=5, n=2048, seed=7)
+    w = np.full(x.shape[0], 1.0 / x.shape[0], np.float32)
+    pre = fit_pre_numpy(x, w, identity_pre(5), mode="diag")
+    assert np.count_nonzero(pre["w_fwd"] - np.diag(np.diag(pre["w_fwd"]))) == 0
+    y = (x - pre["mean"]) @ pre["w_fwd"]
+    np.testing.assert_allclose(y.var(axis=0), np.ones(5), rtol=0.05)
+    pre_j = jax.jit(partial(fit_pre_jax, mode="diag"))(jnp.asarray(x),
+                                                       jnp.asarray(w))
+    for k in ("mean", "w_fwd", "ladj"):
+        np.testing.assert_allclose(np.asarray(pre_j[k]), pre[k],
+                                   rtol=2e-3, atol=2e-3)
+    # end-to-end through a Flow
+    flow = Flow(5, "maf3", seed=1, whiten="diag")
+    flow.fit(x, epochs=40, patience=8, annealing=False, seed=3)
+    wf = np.asarray(flow.params["pre"]["w_fwd"])
+    assert np.count_nonzero(wf - np.diag(np.diag(wf))) == 0
+    z, ladj = flow.forward(x[:64])
+    x_r, ladj_inv = flow.inverse(z)
+    np.testing.assert_allclose(np.asarray(x_r), x[:64], atol=5e-3)
+
+
 def test_whiten_off_keeps_identity_pre():
     x, _ = make_rotated_gaussian(d=3, n=512, seed=5)
     flow = Flow(3, "maf3", seed=0, whiten=False)
@@ -130,4 +156,4 @@ def test_whiten_off_keeps_identity_pre():
 
 def test_invalid_whiten_raises():
     with pytest.raises(ValueError):
-        Flow(3, "maf3", whiten="diag")
+        Flow(3, "maf3", whiten="pca")
