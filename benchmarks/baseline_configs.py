@@ -22,11 +22,16 @@ def run(name, prior, loglike, expect, seed=0, **kw):
     s.run(n_total=4096, n_evidence=4096, progress=False)
     wall = time.time() - t0
     it = int(s.t) if hasattr(s, "t") else -1
+    # SMC persistent-sampling evidence: the recommended estimator when
+    # the flow-IS tail is heavy (k-hat warned) — no importance ratios
+    smc_logz = float(s.particles.compute_logw_and_logz(1.0)[1])
     exp_s = "n/a" if expect is None else f"{expect:.3f}"
     err = "" if expect is None else f"  err {s.logz - expect:+.3f}"
+    smc_err = "" if expect is None else f" (err {smc_logz - expect:+.3f})"
     print(f"{name}: wall {wall:.0f}s  iters {it}  calls {s.calls}  "
           f"logZ {s.logz:.3f} +- {s.logz_err:.3f}  khat {s.evidence_khat:.2f}"
-          f"  analytic {exp_s}{err}", flush=True)
+          f"  smcZ {smc_logz:.3f}{smc_err}  analytic {exp_s}{err}",
+          flush=True)
     return s
 
 

@@ -163,6 +163,7 @@ class Sampler:
                  random_state: int = None,
                  mesh=None,
                  device_loop="auto",
+                 pipeline: int = 1,
                  compile_cache: bool = True,
                  profile_dir: str = None,
                  # accepted for reference API compatibility (no-ops here)
@@ -326,6 +327,17 @@ class Sampler:
                 f"Invalid device_loop {device_loop!r}. Options are 'auto', "
                 f"True or False.")
         self.device_loop = device_loop
+
+        # Device-loop pipeline depth: how many iterations may be enqueued
+        # ahead of the last synced statistics (0 = sync every iteration
+        # before enqueueing the next, the pre-pipelining behavior). Host
+        # adaptation inputs lag by this many iterations; termination can
+        # overshoot by the same count (extra final-temperature samples
+        # are kept). See _run_device_loop.
+        if not isinstance(pipeline, int) or pipeline < 0:
+            raise ValueError(
+                f"Invalid pipeline {pipeline!r}: must be an int >= 0.")
+        self.pipeline = int(pipeline)
 
         # Cold-start: persistent XLA compile cache (fresh-process compiles
         # of the sweep/training programs become disk reads; utils/tools.py
@@ -837,54 +849,27 @@ class Sampler:
         self._iter_walls = []  # per-iteration wall-clock diagnostics
 
         import time as _time
-        while 1.0 - beta_h >= 1e-4 or ess1_h < self.n_total:
-            _t_iter = _time.perf_counter()
-            if save_every is not None and (self.t - t0) % int(save_every) == 0 and self.t != t0:
-                self._sync_device_history()
-                self.save_state(self.output_dir / f"{self.output_label}_{self.t}.state")
+        # Pipelined execution. Measured on the v5e tunnel (quickstart):
+        # the three phase ENQUEUES cost ~0.4 ms each while the blocking
+        # per-iteration stats sync costs ~75 ms and accounts for 3/4 of
+        # total wall. So iteration t+1 is enqueued BEFORE iteration t's
+        # stats are synced: the device computes t+1 while t's sync round
+        # trip is in flight. All device-side state (history, flow
+        # params, geometry, beta ladder) chains by reference and stays
+        # exact; only the HOST decisions (termination, train cadence,
+        # sigma0 carry-over, dynamic n_effective, bucket size) run
+        # `pipeline` iterations behind — each is an adaptation input
+        # that tolerates the lag (the beta==1 forced retrain was already
+        # documented as one-late; termination overshoots by at most
+        # `pipeline` iterations whose samples are KEPT — they are
+        # ordinary SMC iterations at the final temperature).
+        pending = []
+        terminated = not (1.0 - beta_h >= 1e-4 or ess1_h < self.n_total)
 
-            if self._slot_count == t_max:
-                t_max *= 2
-                hist = fused.grow_history(hist, t_max)
-
-            n_select = self._select_bucket(t_max, beta_h)
-            progA, progB, progC = self._device_programs(n_select)
-
-            self.t += 1
-            self.pbar.update_iter()
-            # training cadence (reference sampler.py:648-652). The beta==1
-            # clause uses last iteration's synced beta: the device loop
-            # syncs once per iteration, so the forced beta=1 retrain can
-            # start one iteration late (harmless: the following iteration
-            # is also at beta=1; exact semantics on the host path).
-            train_now = self.preconditioned and (
-                self.t % self.train_frequency == 0 or beta_h >= 1.0
-                or self.flow_untrained)
-
-            with self._trace("pocomc/reweight"):
-                outA = progA(hist, jnp.float32(self.n_effective))
-            if train_now:
-                with self._trace("pocomc/train"):
-                    params, geom, _tstats = progB(
-                        self.flow.params, outA["u_sel"], outA["w_sel"],
-                        self._seed32())
-                self.flow.params = params
-                self._geom_dev = geom
-                self.flow_untrained = False
-            flow_params = self.flow.params if self.preconditioned else None
-            with self._trace("pocomc/mutate"):
-                hist, statsC = progC(hist, outA["beta"], outA["logz"],
-                                     outA["w_flat"], outA["u_sel"],
-                                     outA["w_sel"],
-                                     jnp.float32(self.proposal_scale),
-                                     self._geom_dev, flow_params,
-                                     self._seed32(), self._scp())
-            self._hist_dev = hist
-            self._slot_count += 1
-
-            # the single blocking sync of the iteration
-            statsA, statsC = jax.device_get((outA["stats"], statsC))
-
+        def sync_oldest():
+            nonlocal beta_h, ess1_h, ess_h, terminated
+            p = pending.pop(0)
+            statsA, statsC = jax.device_get((p["statsA"], p["statsC"]))
             beta_h = float(statsA[0])
             logz_h = float(statsA[1])
             ess_h = float(statsA[2])
@@ -897,15 +882,71 @@ class Sampler:
             ess1_h = float(statsC[4])
             logp_mean = float(statsC[5])
             eff = self.proposal_scale / (2.38 / math.sqrt(d))
-
             self._dev_iter_stats.append(dict(
-                iter=self.t, calls=self.calls, steps=steps, efficiency=eff,
+                iter=p["t"], calls=self.calls, steps=steps, efficiency=eff,
                 ess=ess_h, accept=accept, beta=beta_h, logz=logz_h))
             self.pbar.update_stats(dict(
                 beta=beta_h, calls=self.calls, ESS=int(ess_h), logZ=logz_h,
                 logP=logp_mean, acc=accept, steps=steps, eff=eff))
             self._iter_walls.append(
-                (_time.perf_counter() - _t_iter, steps, n_select))
+                (_time.perf_counter() - p["t_start"], steps, p["n_select"]))
+            terminated = not (1.0 - beta_h >= 1e-4 or ess1_h < self.n_total)
+
+        while not (terminated and not pending):
+            if not terminated:
+                _t_iter = _time.perf_counter()
+                if (save_every is not None
+                        and (self.t - t0) % int(save_every) == 0
+                        and self.t != t0):
+                    while pending:   # stats must align with synced slots
+                        sync_oldest()
+                    self._sync_device_history()
+                    self.save_state(
+                        self.output_dir / f"{self.output_label}_{self.t}.state")
+                    if terminated:
+                        continue
+
+                if self._slot_count == t_max:
+                    t_max *= 2
+                    hist = fused.grow_history(hist, t_max)
+
+                n_select = self._select_bucket(t_max, beta_h)
+                progA, progB, progC = self._device_programs(n_select)
+
+                self.t += 1
+                self.pbar.update_iter()
+                # training cadence (reference sampler.py:648-652); beta_h
+                # is the last SYNCED beta (see pipeline note above)
+                train_now = self.preconditioned and (
+                    self.t % self.train_frequency == 0 or beta_h >= 1.0
+                    or self.flow_untrained)
+
+                with self._trace("pocomc/reweight"):
+                    outA = progA(hist, jnp.float32(self.n_effective))
+                if train_now:
+                    with self._trace("pocomc/train"):
+                        params, geom, _tstats = progB(
+                            self.flow.params, outA["u_sel"], outA["w_sel"],
+                            self._seed32())
+                    self.flow.params = params
+                    self._geom_dev = geom
+                    self.flow_untrained = False
+                flow_params = self.flow.params if self.preconditioned else None
+                with self._trace("pocomc/mutate"):
+                    hist, statsC = progC(hist, outA["beta"], outA["logz"],
+                                         outA["w_flat"], outA["u_sel"],
+                                         outA["w_sel"],
+                                         jnp.float32(self.proposal_scale),
+                                         self._geom_dev, flow_params,
+                                         self._seed32(), self._scp())
+                self._hist_dev = hist
+                self._slot_count += 1
+                pending.append(dict(statsA=outA["stats"], statsC=statsC,
+                                    t=self.t, n_select=n_select,
+                                    t_start=_t_iter))
+
+            if pending and (terminated or len(pending) > self.pipeline):
+                sync_oldest()
 
         self._sync_device_history()
 
@@ -1432,6 +1473,7 @@ class Sampler:
         flow_obj = state.pop("_flow_obj", None)
         scaler_cfg = state.pop("_scaler_config")
         self.__dict__.update(state)
+        self.__dict__.setdefault("pipeline", 1)  # pre-pipeline checkpoints
         self.pool = None
         self.distribute = map
         self.pbar = None

@@ -83,6 +83,24 @@ def test_validation_helpers():
         validation.assert_array_within_interval(np.array([2.0]), 0.0, 1.0)
 
 
+def test_pipeline_option():
+    """pipeline=0 (strict per-iteration sync) and default pipelined runs
+    both recover the analytic evidence; invalid depths raise."""
+    from scipy.stats import norm
+    expect = 2 * norm.logpdf(0, 0, np.sqrt(1 + 25.0))
+    for pl in (0, 2):
+        s = pc.Sampler(make_prior(), gaussian_loglike, vectorize=True,
+                       random_state=0, n_effective=256, n_active=128,
+                       precondition=False, pipeline=pl)
+        s.run(n_total=512, n_evidence=0, progress=False)
+        logz = float(s.particles.compute_logw_and_logz(1.0)[1])
+        assert logz == pytest.approx(expect, abs=0.3), (pl, logz)
+    with pytest.raises(ValueError, match="pipeline"):
+        pc.Sampler(make_prior(), gaussian_loglike, pipeline=-1)
+    with pytest.raises(ValueError, match="pipeline"):
+        pc.Sampler(make_prior(), gaussian_loglike, pipeline=1.5)
+
+
 def test_configure_threads_noop():
     configure_threads(pytorch_threads=1)  # accepted, ignored
     configure_threads(blas_threads=1)
