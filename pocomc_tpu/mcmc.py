@@ -117,12 +117,13 @@ def make_sweep(
     n_dim: int,
     n_steps: int,
     n_max: int,
-    kind: str = "tpcn",          # "tpcn" | "rwm"
+    kind: str = "tpcn",          # "tpcn" | "rwm" | "mala" | "hmc"
     preconditioned: bool = False,
     flow_fwd: Callable | None = None,   # (params, u) -> (theta, log|det du/dtheta|)
     flow_inv: Callable | None = None,   # (params, theta) -> (u, log|det du/dtheta|)
     plateau_z: float = 0.0,
     live_stats: bool = False,           # per-step tap via jax.debug.callback
+    n_leapfrog: int = 5,                # hmc only: leapfrog steps/proposal
 ):
     """Build a jitted adaptive MCMC sweep over the whole active population.
 
@@ -130,18 +131,19 @@ def make_sweep(
     flow_params=None) -> results dict. `geom` is the dict produced by
     models.geometry.fit_geometry_jax.
     """
-    if kind not in ("tpcn", "rwm", "mala"):
+    if kind not in ("tpcn", "rwm", "mala", "hmc"):
         raise ValueError(f"Invalid kernel kind {kind!r}")
     if preconditioned and (flow_fwd is None or flow_inv is None):
         raise ValueError("preconditioned sweep needs flow_fwd/flow_inv")
 
     sqrt_d_scale = 2.38 / math.sqrt(n_dim)
     sigma_cap = min(sqrt_d_scale, 0.99)
-    # MALA (beyond-reference, TPU-native: gradients via autodiff through
-    # the composed flow/scaler/likelihood program): optimal acceptance
-    # 0.574 (Roberts & Rosenthal 1998) vs 0.234 for the random-walk
-    # kernels; requires a traceable likelihood (the sampler gates this).
-    accept_target = 0.574 if kind == "mala" else 0.234
+    # Gradient kernels (beyond-reference, TPU-native: autodiff through
+    # the composed flow/scaler/likelihood program); acceptance optima
+    # 0.574 (MALA, Roberts & Rosenthal 1998) / 0.651 (HMC, Beskos et al.
+    # 2013) vs 0.234 for the random-walk kernels. Both require a
+    # traceable likelihood (the sampler gates this).
+    accept_target = {"mala": 0.574, "hmc": 0.651}.get(kind, 0.234)
 
     def _to_x(v_prime, flow_params, scaler_params):
         """Map proposal in sampling space back to (u', x', logdetj',
@@ -237,6 +239,56 @@ def make_sweep(
                         corr=corr, grad=grad_p, logl=logl_p,
                         k_unif=k_unif, key=key)
 
+        if kind == "hmc":
+            # Hamiltonian proposal: leapfrog with unit mass in the
+            # geometry-whitened coordinates y = L^-1 v (equivalent to
+            # mass matrix M = cov^-1 in v-space); eps = st.sigma, a
+            # static n_leapfrog steps. Volume-preserving + symmetric, so
+            # the Metropolis correction is the kinetic-energy difference
+            # only. Out-of-support intermediate points contribute zero
+            # gradient (the trajectory coasts) and an invalid endpoint is
+            # rejected by the -inf target.
+            q = jnp.zeros(n, cur.dtype)
+            eps = st.sigma
+            z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
+            y0 = solve_triangular(n_chol, cur.T, lower=True).T
+            g_y0 = st.grad @ n_chol            # L^T grad_v, row form
+            p0 = z + 0.5 * eps * g_y0          # first half kick
+
+            aux0 = (st.u, st.x, st.x, st.logdetj, st.theta,
+                    st.logdetj_flow, st.logp, st.logl,
+                    jnp.ones(n, bool))
+            calls0 = jnp.asarray(0, st.calls.dtype)
+
+            def leap(_, carry):
+                y, p, g_y, calls_in, _aux = carry
+                y = y + eps * p
+                v = y @ n_chol.T
+                g_v, aux = _grad_target(v, beta, st.x, flow_params,
+                                        scaler_params)
+                calls_in = calls_in + jnp.sum(aux[-1]).astype(calls_in.dtype)
+                g_y = g_v @ n_chol
+                p = p + eps * g_y              # full kick (corrected below)
+                return (y, p, g_y, calls_in, aux)
+
+            y, p, g_y, calls_in, aux = jax.lax.fori_loop(
+                0, n_leapfrog, leap, (y0, p0, g_y0, calls0, aux0))
+            p = p - 0.5 * eps * g_y            # trailing half kick
+            u_p, x_p, x_safe, ldj_p, theta_p, ldjf_p, logp_p, logl_p, \
+                finite = aux
+            # need grad_v at the endpoint for the next step's carry
+            grad_p = (g_y @ jax.scipy.linalg.solve_triangular(
+                n_chol, jnp.eye(n_dim, dtype=cur.dtype), lower=True))
+            corr = (0.5 * jnp.sum(z * z, axis=-1)
+                    - 0.5 * jnp.sum(p * p, axis=-1))
+            return dict(u=u_p, x=x_p, x_safe=x_safe, logdetj=ldj_p,
+                        theta=theta_p, logdetj_flow=ldjf_p, logp=logp_p,
+                        finite=finite, q=q, qp=q,
+                        corr=corr, grad=grad_p, logl=logl_p,
+                        k_unif=k_unif, key=key,
+                        extra_calls=calls_in - jnp.sum(finite).astype(
+                            calls_in.dtype))
+
         if kind == "tpcn":
             diff = cur - st.mu
             q = _student_quadform(diff, inv_cov)
@@ -276,6 +328,8 @@ def make_sweep(
         n = st.u.shape[0]
         i1 = (st.i + 1).astype(st.sigma.dtype)
         calls = st.calls + jnp.sum(prop["finite"])
+        if "extra_calls" in prop:   # hmc: inner leapfrog evaluations
+            calls = calls + prop["extra_calls"]
 
         log_ratio = (beta * (logl_p - st.logl)
                      + (prop["logp"] - st.logp)
@@ -287,7 +341,7 @@ def make_sweep(
             A = -half * jnp.log1p(prop["qp"] / nu)
             B = -half * jnp.log1p(prop["q"] / nu)
             log_ratio = log_ratio - A + B
-        elif kind == "mala":
+        elif kind in ("mala", "hmc"):
             log_ratio = log_ratio + prop["corr"]
 
         alpha = jnp.minimum(1.0, jnp.exp(log_ratio))
@@ -302,7 +356,8 @@ def make_sweep(
         logp = sel(prop["logp"], st.logp)
         theta = sel(prop["theta"], st.theta)
         ldjf = sel(prop["logdetj_flow"], st.logdetj_flow)
-        grad = sel(prop["grad"], st.grad) if kind == "mala" else st.grad
+        grad = (sel(prop["grad"], st.grad) if kind in ("mala", "hmc")
+                else st.grad)
 
         alpha_mean = jnp.mean(alpha)
         if kind == "tpcn":
@@ -313,9 +368,9 @@ def make_sweep(
                 mu = st.mu + (jnp.mean(theta, axis=0) - st.mu) / i1
             else:
                 mu = st.mu
-        elif kind == "mala":
-            # uncapped: MALA's optimal step scale is problem-dependent
-            # (~d^{-1/6} in the iid limit), not the RW 2.38/sqrt(d)
+        elif kind in ("mala", "hmc"):
+            # uncapped: the Langevin/leapfrog step scale is problem-
+            # dependent (~d^{-1/6}, ~d^{-1/4}), not the RW 2.38/sqrt(d)
             sigma = jnp.abs(st.sigma
                             + (alpha_mean - accept_target) / i1**0.75)
             mu = st.mu
@@ -355,7 +410,7 @@ def make_sweep(
         return new_st, accept, stats
 
     def cond(st: SweepState) -> jnp.ndarray:
-        if kind == "mala":
+        if kind in ("mala", "hmc"):
             # sigma has Langevin-step units, not RW units: the
             # (2.38/sqrt(d) / sigma)^2 window stretch is meaningless here
             thresh = jnp.asarray(n_steps, st.sigma.dtype)
@@ -369,7 +424,7 @@ def make_sweep(
 
     def should_continue(i, cnt, sigma) -> bool:
         """Host-side copy of `cond` for the stepped driver."""
-        if kind == "mala":
+        if kind in ("mala", "hmc"):
             return (i == 0) or (cnt < n_steps and i < n_max)
         ratio = sqrt_d_scale / sigma
         if kind == "rwm" and preconditioned:
@@ -394,7 +449,7 @@ def make_sweep(
 
         calls0 = jnp.asarray(
             0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
-        if kind == "mala":
+        if kind in ("mala", "hmc"):
             # initial-point gradient; the extra likelihood pass is counted
             v0 = theta0 if preconditioned else u
             grad0, aux0 = _grad_target(v0, beta, x, flow_params,
@@ -432,8 +487,9 @@ def make_sweep(
 
         def body(st: SweepState) -> SweepState:
             prop = propose(st, beta, geom, flow_params, scaler_params)
-            # MALA evaluated the likelihood inside its gradient pass
-            logl_p = (prop["logl"] if kind == "mala"
+            # gradient kernels evaluated the likelihood inside their
+            # gradient passes
+            logl_p = (prop["logl"] if kind in ("mala", "hmc")
                       else log_like(prop["x_safe"], prop["finite"]))
             new_st, _, _ = accept_update(st, prop, logl_p, beta, geom)
             if live_stats:

@@ -153,6 +153,7 @@ class Sampler:
                  metric: str = "ess",
                  n_prior: int = None,
                  sample: str = "tpcn",
+                 n_leapfrog: int = 5,
                  n_steps: int = None,
                  n_max_steps: int = None,
                  plateau_z: float = 0.75,
@@ -283,15 +284,19 @@ class Sampler:
         self.dynamic_ratio = unique_sample_size(
             np.ones(self.n_effective), k=self.n_active) / self.n_active
 
-        # 'mala' is beyond-reference: preconditioned Metropolis-adjusted
-        # Langevin with gradients by autodiff through the composed
-        # flow/scaler/likelihood program (mcmc.py kind='mala'); it needs a
+        # 'mala'/'hmc' are beyond-reference: preconditioned gradient
+        # kernels with autodiff through the composed flow/scaler/
+        # likelihood program (mcmc.py kind='mala'/'hmc'); they need a
         # JAX-traceable likelihood (checked in _build_device_fns, where
         # traceability is probed).
-        if sample not in ("tpcn", "rwm", "mala"):
+        if sample not in ("tpcn", "rwm", "mala", "hmc"):
             raise ValueError(f"Invalid sample {sample}. Options are 'tpcn', "
-                             f"'rwm' or 'mala'.")
+                             f"'rwm', 'mala' or 'hmc'.")
         self.sample = sample
+        if not isinstance(n_leapfrog, int) or n_leapfrog < 1:
+            raise ValueError(
+                f"Invalid n_leapfrog {n_leapfrog!r}: must be an int >= 1.")
+        self.n_leapfrog = int(n_leapfrog)
 
         self.proposal_scale = 2.38 / math.sqrt(self.n_dim)
 
@@ -376,12 +381,12 @@ class Sampler:
             self._like_batch_fn = None
         self.likelihood_traceable = like_traceable
 
-        if self.sample == "mala" and not like_traceable:
+        if self.sample in ("mala", "hmc") and not like_traceable:
             raise ValueError(
-                "sample='mala' needs gradients of the likelihood, so the "
-                "likelihood must be JAX-traceable (no pools, no blobs; "
-                "see docs/likelihoods.md). Use 'tpcn' or 'rwm' for "
-                "black-box likelihoods.")
+                f"sample={self.sample!r} needs gradients of the likelihood, "
+                f"so the likelihood must be JAX-traceable (no pools, no "
+                f"blobs; see docs/likelihoods.md). Use 'tpcn' or 'rwm' for "
+                f"black-box likelihoods.")
 
         if like_traceable:
             loglike_dev = make_loglike_device(self._like_batch_fn, True, True)
@@ -466,7 +471,8 @@ class Sampler:
                           log_like=loglike_dev, n_dim=self.n_dim,
                           n_steps=self.n_steps, n_max=self.n_max_steps,
                           plateau_z=self.plateau_z,
-                          live_stats=self._live_stats)
+                          live_stats=self._live_stats,
+                          n_leapfrog=self.n_leapfrog)
             cache["sweep_plain"] = make_sweep(
                 kind=self.sample, preconditioned=False, **common)
             cache["sweep_precond"] = make_sweep(
@@ -503,7 +509,8 @@ class Sampler:
             self.vectorize, id(self.prior),
             self.n_dim, self.n_active, self.n_steps, self.n_max_steps,
             self.plateau_z,
-            self.sample, self.preconditioned, self.metric, self.dynamic,
+            self.sample, self.n_leapfrog,
+            self.preconditioned, self.metric, self.dynamic,
             float(self.dynamic_ratio), self.resample,
             self.flow._config_key,
             getattr(self.flow, "whiten_mode",
@@ -866,30 +873,38 @@ class Sampler:
         pending = []
         terminated = not (1.0 - beta_h >= 1e-4 or ess1_h < self.n_total)
 
-        def sync_oldest():
+        def sync_batch(k):
+            """Sync the oldest k pending iterations in ONE device_get (one
+            round trip amortizes over k on a high-latency link)."""
             nonlocal beta_h, ess1_h, ess_h, terminated
-            p = pending.pop(0)
-            statsA, statsC = jax.device_get((p["statsA"], p["statsC"]))
-            beta_h = float(statsA[0])
-            logz_h = float(statsA[1])
-            ess_h = float(statsA[2])
-            if self.dynamic:
-                self.n_effective = int(statsA[3])
-            accept = float(statsC[0])
-            steps = int(statsC[1])
-            self.calls += int(statsC[2])
-            self.proposal_scale = float(statsC[3])
-            ess1_h = float(statsC[4])
-            logp_mean = float(statsC[5])
-            eff = self.proposal_scale / (2.38 / math.sqrt(d))
-            self._dev_iter_stats.append(dict(
-                iter=p["t"], calls=self.calls, steps=steps, efficiency=eff,
-                ess=ess_h, accept=accept, beta=beta_h, logz=logz_h))
-            self.pbar.update_stats(dict(
-                beta=beta_h, calls=self.calls, ESS=int(ess_h), logZ=logz_h,
-                logP=logp_mean, acc=accept, steps=steps, eff=eff))
-            self._iter_walls.append(
-                (_time.perf_counter() - p["t_start"], steps, p["n_select"]))
+            batch = pending[:k]
+            del pending[:k]
+            stats = jax.device_get([(p["statsA"], p["statsC"])
+                                    for p in batch])
+            for p, (statsA, statsC) in zip(batch, stats):
+                beta_h = float(statsA[0])
+                logz_h = float(statsA[1])
+                ess_h = float(statsA[2])
+                if self.dynamic:
+                    self.n_effective = int(statsA[3])
+                accept = float(statsC[0])
+                steps = int(statsC[1])
+                self.calls += int(statsC[2])
+                self.proposal_scale = float(statsC[3])
+                ess1_h = float(statsC[4])
+                logp_mean = float(statsC[5])
+                eff = self.proposal_scale / (2.38 / math.sqrt(d))
+                self._dev_iter_stats.append(dict(
+                    iter=p["t"], calls=self.calls, steps=steps,
+                    efficiency=eff, ess=ess_h, accept=accept, beta=beta_h,
+                    logz=logz_h))
+                self.pbar.update_stats(dict(
+                    beta=beta_h, calls=self.calls, ESS=int(ess_h),
+                    logZ=logz_h, logP=logp_mean, acc=accept, steps=steps,
+                    eff=eff))
+                self._iter_walls.append(
+                    (_time.perf_counter() - p["t_start"], steps,
+                     p["n_select"]))
             terminated = not (1.0 - beta_h >= 1e-4 or ess1_h < self.n_total)
 
         while not (terminated and not pending):
@@ -898,8 +913,8 @@ class Sampler:
                 if (save_every is not None
                         and (self.t - t0) % int(save_every) == 0
                         and self.t != t0):
-                    while pending:   # stats must align with synced slots
-                        sync_oldest()
+                    if pending:   # stats must align with synced slots
+                        sync_batch(len(pending))
                     self._sync_device_history()
                     self.save_state(
                         self.output_dir / f"{self.output_label}_{self.t}.state")
@@ -945,8 +960,14 @@ class Sampler:
                                     t=self.t, n_select=n_select,
                                     t_start=_t_iter))
 
-            if pending and (terminated or len(pending) > self.pipeline):
-                sync_oldest()
+            if pending and terminated:
+                sync_batch(len(pending))
+            elif self.pipeline == 0 and pending:
+                sync_batch(1)
+            elif self.pipeline > 0 and len(pending) >= 2 * self.pipeline:
+                # drain half the window in one round trip: at depth K the
+                # sync RTT amortizes over K iterations
+                sync_batch(self.pipeline)
 
         self._sync_device_history()
 
@@ -1474,6 +1495,7 @@ class Sampler:
         scaler_cfg = state.pop("_scaler_config")
         self.__dict__.update(state)
         self.__dict__.setdefault("pipeline", 1)  # pre-pipeline checkpoints
+        self.__dict__.setdefault("n_leapfrog", 5)
         self.pool = None
         self.distribute = map
         self.pbar = None

@@ -1,7 +1,8 @@
-"""MALA mutation kernel (mcmc.py kind='mala') — beyond-reference:
-preconditioned Metropolis-adjusted Langevin with gradients by autodiff
-through the composed flow/scaler/likelihood program. The reference
-(torch, black-box likelihoods) has no gradient kernel at all.
+"""Gradient mutation kernels (mcmc.py kind='mala'/'hmc') —
+beyond-reference: preconditioned Metropolis-adjusted Langevin and
+Hamiltonian Monte Carlo with gradients by autodiff through the composed
+flow/scaler/likelihood program. The reference (torch, black-box
+likelihoods) has no gradient kernel at all.
 """
 
 import numpy as np
@@ -33,10 +34,11 @@ def _gauss_setup(d=3, rho=0.7, n=512, seed=0):
     return loglike, prior, scaler, u, x, logdetj, cov
 
 
-def test_mala_sweep_targets_correct_distribution():
-    """A long plain-MALA sweep must sample the tempered posterior: walker
-    moments against the analytic beta-posterior of a correlated Gaussian
-    likelihood x N(0,5) prior."""
+@pytest.mark.parametrize("kind", ["mala", "hmc"])
+def test_gradient_sweep_targets_correct_distribution(kind):
+    """A long plain gradient-kernel sweep must sample the tempered
+    posterior: walker moments against the analytic beta-posterior of a
+    correlated Gaussian likelihood x N(0,5) prior."""
     d = 3
     loglike, prior, scaler, u, x, logdetj, cov = _gauss_setup(d=d, n=1024)
     beta = 1.0
@@ -47,19 +49,22 @@ def test_mala_sweep_targets_correct_distribution():
     loglike_dev = make_loglike_device(loglike, True, True)
     sweep = make_sweep(scaler=scaler, log_prior=prior.logpdf,
                        log_like=loglike_dev, n_dim=d,
-                       n_steps=10**6, n_max=120, kind="mala",
-                       preconditioned=False)
+                       n_steps=10**6, n_max=120, kind=kind,
+                       preconditioned=False, n_leapfrog=3)
     logl = loglike(x)
     logp = prior.logpdf(x)
     geom = fit_geometry_jax(u, key=jax.random.key(1))
     res = sweep(u, x, logdetj, logl, logp, jnp.float32(beta),
                 jnp.float32(0.8), geom, jax.random.key(2))
     assert int(res["steps"]) == 120
-    assert 0.2 < float(res["accept"]) < 0.95
+    assert 0.2 < float(res["accept"]) < 0.98
     xs = np.asarray(res["x"], np.float64)
     assert np.all(np.isfinite(xs))
     np.testing.assert_allclose(xs.mean(axis=0), np.zeros(d), atol=0.25)
     np.testing.assert_allclose(np.cov(xs.T), post_cov, atol=0.35)
+    if kind == "hmc":
+        # n_leapfrog inner evaluations per step must be counted
+        assert int(res["calls"]) >= 3 * 120 * 1024
 
 
 def test_mala_grad_zero_outside_support():
@@ -89,6 +94,31 @@ def test_mala_grad_zero_outside_support():
         assert bool(jnp.all(jnp.isfinite(res[k]))), k
 
 
+def test_hmc_end_to_end_evidence():
+    """Full SMC run with sample='hmc' recovers an analytic logZ."""
+    d = 4
+    rng = np.random.default_rng(0)
+    evals = np.logspace(0, 1.5, d)
+    Q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    cov = (Q * evals) @ Q.T
+    ci = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+    nc = -0.5 * (d * np.log(2 * np.pi) + np.linalg.slogdet(cov)[1])
+
+    def loglike(x):
+        return nc - 0.5 * jnp.einsum("ni,ij,nj->n", x, ci, x)
+
+    ps = 10.0
+    expect = multivariate_normal.logpdf(np.zeros(d), np.zeros(d),
+                                        cov + ps**2 * np.eye(d))
+    s = pc.Sampler(pc.Prior([Normal(0, ps) for _ in range(d)]), loglike,
+                   vectorize=True, random_state=0, n_effective=256,
+                   n_active=128, sample="hmc", n_leapfrog=3, flow="nsf3",
+                   train_config={"epochs": 60, "patience": 8})
+    s.run(n_total=1024, n_evidence=1024, progress=False)
+    logz, err = s.evidence()
+    assert logz == pytest.approx(expect, abs=0.35)
+
+
 def test_mala_end_to_end_evidence():
     """Full SMC run with sample='mala' recovers an analytic logZ."""
     d = 4
@@ -114,13 +144,21 @@ def test_mala_end_to_end_evidence():
     assert logz == pytest.approx(expect, abs=0.35)
 
 
-def test_mala_requires_traceable_likelihood():
+@pytest.mark.parametrize("kind", ["mala", "hmc"])
+def test_gradient_kernels_require_traceable_likelihood(kind):
     def blackbox(x):
         return float(-0.5 * np.sum(np.asarray(x) ** 2))
 
     with pytest.raises(ValueError, match="traceable"):
         pc.Sampler(pc.Prior([Normal(0, 1) for _ in range(2)]), blackbox,
-                   sample="mala")
+                   sample=kind)
+
+
+def test_invalid_n_leapfrog_raises():
+    with pytest.raises(ValueError, match="n_leapfrog"):
+        pc.Sampler(pc.Prior([Normal(0, 1) for _ in range(2)]),
+                   lambda x: -jnp.sum(x**2, axis=-1), sample="hmc",
+                   n_leapfrog=0)
 
 
 def test_invalid_sample_name_still_raises():
