@@ -45,6 +45,21 @@ def test_sharded_run_matches_analytic(mesh):
     assert abs(logz - expect) < 0.3
 
 
+@pytest.mark.parametrize("kind", ["mala", "hmc"])
+def test_sharded_gradient_kernels(mesh, kind):
+    """The autodiff (vjp) target passes of the gradient kernels must
+    shard over the particle mesh like the random-walk kernels do."""
+    prior = pc.Prior([pc.Normal(0, 5), pc.Normal(0, 5)])
+    s = pc.Sampler(prior, gaussian_loglike, vectorize=True, random_state=0,
+                   n_effective=256, n_active=128, sample=kind, flow="nsf3",
+                   n_leapfrog=2, mesh=mesh,
+                   train_config={"epochs": 40, "patience": 5})
+    s.run(n_total=512, n_evidence=512, progress=False)
+    from scipy.stats import norm
+    expect = 2 * norm.logpdf(0, 0, np.sqrt(26.0))
+    assert abs(s.logz - expect) < 0.4
+
+
 def test_dryrun_multichip_entry():
     import sys
     sys.path.insert(0, "/root/repo")
