@@ -105,29 +105,32 @@ def fit_pre_numpy(x, w, prev_pre, rel_eps=1e-6, min_ess=8.0,
 def fit_pre_jax(x, w, rel_eps=1e-6, min_ess=8.0, mode="full"):
     """Traceable weighted whitening fit (same conventions, modes, and
     degeneracy guards as `fit_pre_numpy`; identity fallback instead of
-    prev_pre)."""
-    n_dim = x.shape[-1]
-    eye = jnp.eye(n_dim, dtype=x.dtype)
-    wn = w / jnp.maximum(jnp.sum(w), 1e-30)
-    mean = wn @ x
-    xc = x - mean
-    if mode == "diag":
-        var = wn @ (xc * xc)
-        tr = jnp.sum(var)
-        chol = jnp.diag(jnp.sqrt(var + rel_eps * tr / n_dim + 1e-12))
-    else:
-        cov = (xc * wn[:, None]).T @ xc
-        tr = jnp.trace(cov)
-        cov = cov + (rel_eps * tr / n_dim + 1e-12) * eye
-        chol = jnp.linalg.cholesky(cov)
-    ok = (jnp.all(jnp.isfinite(chol))
-          & (1.0 / jnp.sum(wn * wn) >= min_ess)
-          & jnp.isfinite(tr) & (tr > n_dim * 1e-10))
-    chol = jnp.where(ok, chol, eye)
-    chol_inv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
-    return dict(mean=jnp.where(ok, mean, jnp.zeros_like(mean)),
-                w_fwd=chol_inv.T, w_inv=chol.T,
-                ladj=-jnp.sum(jnp.log(jnp.diagonal(chol))))
+    prev_pre). Traced at matmul precision float32 like all other flow
+    compute: a bf16-quantized covariance of an ill-conditioned training
+    set could fail the PD guard or degrade the whitening silently."""
+    with jax.default_matmul_precision("float32"):
+        n_dim = x.shape[-1]
+        eye = jnp.eye(n_dim, dtype=x.dtype)
+        wn = w / jnp.maximum(jnp.sum(w), 1e-30)
+        mean = wn @ x
+        xc = x - mean
+        if mode == "diag":
+            var = wn @ (xc * xc)
+            tr = jnp.sum(var)
+            chol = jnp.diag(jnp.sqrt(var + rel_eps * tr / n_dim + 1e-12))
+        else:
+            cov = (xc * wn[:, None]).T @ xc
+            tr = jnp.trace(cov)
+            cov = cov + (rel_eps * tr / n_dim + 1e-12) * eye
+            chol = jnp.linalg.cholesky(cov)
+        ok = (jnp.all(jnp.isfinite(chol))
+              & (1.0 / jnp.sum(wn * wn) >= min_ess)
+              & jnp.isfinite(tr) & (tr > n_dim * 1e-10))
+        chol = jnp.where(ok, chol, eye)
+        chol_inv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
+        return dict(mean=jnp.where(ok, mean, jnp.zeros_like(mean)),
+                    w_fwd=chol_inv.T, w_inv=chol.T,
+                    ladj=-jnp.sum(jnp.log(jnp.diagonal(chol))))
 
 
 _ARCHS = {

@@ -263,7 +263,8 @@ def make_train_program(flow, n_select: int, batch_size: int,
             pre_prev = params["pre"]
             pre = (fit_pre_jax(u_sel, w_sel, mode=whiten_mode)
                    if whiten else pre_prev)
-            u_in = (u_sel - pre["mean"]) @ pre["w_fwd"]
+            with jax.default_matmul_precision("float32"):
+                u_in = (u_sel - pre["mean"]) @ pre["w_fwd"]
             params = params["stack"]
         else:
             pre_prev = pre = None

@@ -335,10 +335,12 @@ class Sampler:
 
         # Device-loop pipeline depth: how many iterations may be enqueued
         # ahead of the last synced statistics (0 = sync every iteration
-        # before enqueueing the next, the pre-pipelining behavior). Host
-        # adaptation inputs lag by this many iterations; termination can
-        # overshoot by the same count (extra final-temperature samples
-        # are kept). See _run_device_loop.
+        # before enqueueing the next, the pre-pipelining behavior). Since
+        # an iteration is enqueued before its own predecessor syncs, host
+        # adaptation inputs are stale by UP TO 2*pipeline iterations
+        # (pipeline in flight + pipeline awaiting the batched drain), and
+        # termination can overshoot by the same count (the extra
+        # final-temperature samples are kept). See _run_device_loop.
         if not isinstance(pipeline, int) or pipeline < 0:
             raise ValueError(
                 f"Invalid pipeline {pipeline!r}: must be an int >= 0.")
@@ -414,6 +416,12 @@ class Sampler:
         # of per-distribution eager dispatches
         prior_traceable = (getattr(self.prior, "traceable", False)
                            or logprior_dev is self.prior.logpdf)
+        if self.sample in ("mala", "hmc") and not prior_traceable:
+            raise ValueError(
+                f"sample={self.sample!r} differentiates through the prior "
+                f"as well: a callback-based (non-traceable) prior cannot "
+                f"provide gradients. Use JAX-native distributions "
+                f"(pocomc_tpu.Normal, ...) or 'tpcn'/'rwm'.")
         if prior_traceable:
             self._logprior_host = jax.jit(self.prior.logpdf)
         else:
@@ -1432,7 +1440,19 @@ class Sampler:
         self._synced_slots = 0
         self._dev_iter_stats = []
         self._scp_cache = None
-        self.flow.params = jax.tree_util.tree_map(jnp.asarray, state["flow_params"])
+        flow_params = jax.tree_util.tree_map(jnp.asarray,
+                                             state["flow_params"])
+        if (isinstance(self.flow, Flow)
+                and not (isinstance(flow_params, dict)
+                         and "pre" in flow_params
+                         and "stack" in flow_params)):
+            # pre-whitening checkpoint: migrate the bare transform stack
+            # into the composite {'pre', 'stack'} layout (identity pre)
+            from .models.flow import identity_pre
+            flow_params = {
+                "pre": jax.device_put(identity_pre(self.flow.n_dim)),
+                "stack": flow_params}
+        self.flow.params = flow_params
         self.prior_samples = state["prior_samples"]
         self.current_particles = state["current_particles"]
         self._rng.bit_generator.state = state["rng_state"]

@@ -154,6 +154,25 @@ def test_gradient_kernels_require_traceable_likelihood(kind):
                    sample=kind)
 
 
+def test_gradient_kernels_require_traceable_prior():
+    """A callback-based prior cannot provide gradients: requesting a
+    gradient kernel with one must raise clearly at construction, not
+    crash inside jax.vjp on the first sweep."""
+    class NumpyPrior:
+        dim = 2
+        bounds = np.array([[-np.inf, np.inf]] * 2)
+
+        def logpdf(self, x):
+            return -0.5 * np.sum(np.asarray(x) ** 2, axis=-1)
+
+        def rvs(self, size=1):
+            return np.random.default_rng(0).standard_normal((size, 2))
+
+    with pytest.raises(ValueError, match="prior"):
+        pc.Sampler(NumpyPrior(), lambda x: -jnp.sum(x**2, axis=-1),
+                   vectorize=True, sample="mala")
+
+
 def test_invalid_n_leapfrog_raises():
     with pytest.raises(ValueError, match="n_leapfrog"):
         pc.Sampler(pc.Prior([Normal(0, 1) for _ in range(2)]),

@@ -154,6 +154,34 @@ def test_whiten_off_keeps_identity_pre():
     np.testing.assert_allclose(float(flow.params["pre"]["ladj"]), 0.0)
 
 
+def test_pre_whitening_checkpoint_migrates():
+    """State dicts saved before the {'pre','stack'} params split (bare
+    transform-stack flow_params) must load and run, not TypeError on the
+    first flow call."""
+    import pocomc_tpu as pc
+
+    def loglike(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    prior = pc.Prior([pc.Normal(0, 5) for _ in range(2)])
+    s = pc.Sampler(prior, loglike, vectorize=True, random_state=0,
+                   n_effective=128, n_active=64, flow="nsf3",
+                   train_config={"epochs": 20, "patience": 4})
+    s.run(n_total=256, n_evidence=0, progress=False)
+    state = s.state_dict()
+    # simulate an old checkpoint: strip the pre layer
+    state["flow_params"] = state["flow_params"]["stack"]
+
+    s2 = pc.Sampler(prior, loglike, vectorize=True, random_state=1,
+                    n_effective=128, n_active=64, flow="nsf3",
+                    train_config={"epochs": 20, "patience": 4})
+    s2.load_state_dict(state)
+    assert "pre" in s2.flow.params and "stack" in s2.flow.params
+    z, ladj = s2.flow.forward(jnp.zeros((4, 2)))  # would TypeError before
+    assert bool(jnp.all(jnp.isfinite(z)))
+    s2.run(n_total=512, n_evidence=0, progress=False)  # resume continues
+
+
 def test_invalid_whiten_raises():
     with pytest.raises(ValueError):
         Flow(3, "maf3", whiten="pca")
