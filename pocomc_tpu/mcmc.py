@@ -131,10 +131,14 @@ def make_sweep(
     flow_params=None) -> results dict. `geom` is the dict produced by
     models.geometry.fit_geometry_jax.
     """
-    if kind not in ("tpcn", "rwm", "mala", "hmc"):
+    if kind not in ("tpcn", "rwm", "mala", "hmc", "imh"):
         raise ValueError(f"Invalid kernel kind {kind!r}")
     if preconditioned and (flow_fwd is None or flow_inv is None):
         raise ValueError("preconditioned sweep needs flow_fwd/flow_inv")
+    if kind == "imh" and not preconditioned:
+        raise ValueError(
+            "kind='imh' proposes from the flow's latent base and "
+            "requires preconditioning (precondition=True).")
 
     sqrt_d_scale = 2.38 / math.sqrt(n_dim)
     sigma_cap = min(sqrt_d_scale, 0.99)
@@ -297,6 +301,13 @@ def make_sweep(
             z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
             step = jnp.sqrt(s)[:, None] * (z @ t_chol.T)
             v_prime = st.mu + jnp.sqrt(1.0 - st.sigma**2) * diff + st.sigma * step
+        elif kind == "imh":
+            # independent MH from the flow's base: theta' ~ N(0, I). A
+            # well-trained flow maps the target onto ~N(0,I) latents, so
+            # this is a GLOBAL move (mode hopping, zero autocorrelation
+            # on accept); acceptance directly measures flow quality.
+            q = jnp.zeros(n, cur.dtype)
+            v_prime = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
         else:
             q = jnp.zeros(n, cur.dtype)
             z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
@@ -310,13 +321,16 @@ def make_sweep(
         logp_p = jnp.where(finite, log_prior(x_safe), -jnp.inf)
         finite = finite & jnp.isfinite(logp_p)
 
-        if kind == "tpcn":
-            qp = _student_quadform(v_prime - st.mu, inv_cov)
-        else:
-            qp = q
-        return dict(u=u_p, x=x_p, x_safe=x_safe, logdetj=ldj_p,
+        prop = dict(u=u_p, x=x_p, x_safe=x_safe, logdetj=ldj_p,
                     theta=theta_p, logdetj_flow=ldjf_p, logp=logp_p,
-                    finite=finite, q=q, qp=qp, k_unif=k_unif, key=key)
+                    finite=finite, q=q, qp=q, k_unif=k_unif, key=key)
+        if kind == "tpcn":
+            prop["qp"] = _student_quadform(v_prime - st.mu, inv_cov)
+        elif kind == "imh":
+            # log q(theta) - log q(theta') under the N(0, I) proposal
+            prop["corr"] = 0.5 * (jnp.sum(v_prime**2, axis=-1)
+                                  - jnp.sum(cur**2, axis=-1))
+        return prop
 
     def accept_update(st: SweepState, prop, logl_p, beta, geom) -> tuple:
         """Metropolis accept + diminishing adaptation + plateau counters.
@@ -341,7 +355,7 @@ def make_sweep(
             A = -half * jnp.log1p(prop["qp"] / nu)
             B = -half * jnp.log1p(prop["q"] / nu)
             log_ratio = log_ratio - A + B
-        elif kind in ("mala", "hmc"):
+        elif kind in ("mala", "hmc", "imh"):
             log_ratio = log_ratio + prop["corr"]
 
         alpha = jnp.minimum(1.0, jnp.exp(log_ratio))
@@ -373,6 +387,9 @@ def make_sweep(
             # dependent (~d^{-1/6}, ~d^{-1/4}), not the RW 2.38/sqrt(d)
             sigma = jnp.abs(st.sigma
                             + (alpha_mean - accept_target) / i1**0.75)
+            mu = st.mu
+        elif kind == "imh":
+            sigma = st.sigma   # no proposal scale to adapt
             mu = st.mu
         else:
             if preconditioned:
@@ -410,7 +427,7 @@ def make_sweep(
         return new_st, accept, stats
 
     def cond(st: SweepState) -> jnp.ndarray:
-        if kind in ("mala", "hmc"):
+        if kind in ("mala", "hmc", "imh"):
             # sigma has Langevin-step units, not RW units: the
             # (2.38/sqrt(d) / sigma)^2 window stretch is meaningless here
             thresh = jnp.asarray(n_steps, st.sigma.dtype)
@@ -424,7 +441,7 @@ def make_sweep(
 
     def should_continue(i, cnt, sigma) -> bool:
         """Host-side copy of `cond` for the stepped driver."""
-        if kind in ("mala", "hmc"):
+        if kind in ("mala", "hmc", "imh"):
             return (i == 0) or (cnt < n_steps and i < n_max)
         ratio = sqrt_d_scale / sigma
         if kind == "rwm" and preconditioned:

@@ -289,9 +289,17 @@ class Sampler:
         # likelihood program (mcmc.py kind='mala'/'hmc'); they need a
         # JAX-traceable likelihood (checked in _build_device_fns, where
         # traceability is probed).
-        if sample not in ("tpcn", "rwm", "mala", "hmc"):
+        # 'imh' (independent MH from the flow base) is beyond-reference
+        # too: global mode-hopping moves whose acceptance measures flow
+        # quality; works with black-box likelihoods but needs the flow
+        # preconditioner.
+        if sample not in ("tpcn", "rwm", "mala", "hmc", "imh"):
             raise ValueError(f"Invalid sample {sample}. Options are 'tpcn', "
-                             f"'rwm', 'mala' or 'hmc'.")
+                             f"'rwm', 'mala', 'hmc' or 'imh'.")
+        if sample == "imh" and not precondition:
+            raise ValueError(
+                "sample='imh' proposes from the flow's latent base and "
+                "requires precondition=True.")
         self.sample = sample
         if not isinstance(n_leapfrog, int) or n_leapfrog < 1:
             raise ValueError(
@@ -481,8 +489,11 @@ class Sampler:
                           plateau_z=self.plateau_z,
                           live_stats=self._live_stats,
                           n_leapfrog=self.n_leapfrog)
+            # imh needs the flow; its (unreachable — precondition is
+            # enforced) plain-space slot builds as tpcn
             cache["sweep_plain"] = make_sweep(
-                kind=self.sample, preconditioned=False, **common)
+                kind="tpcn" if self.sample == "imh" else self.sample,
+                preconditioned=False, **common)
             cache["sweep_precond"] = make_sweep(
                 kind=self.sample, preconditioned=True,
                 flow_fwd=self.flow.kernel_fwd,

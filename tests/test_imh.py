@@ -1,0 +1,69 @@
+"""Independent-MH mutation kernel (mcmc.py kind='imh') — global moves
+proposed from the flow's latent base. Beyond-reference: zero
+autocorrelation on accept, mode hopping on multimodal targets, and
+works for black-box likelihoods (no gradients needed).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import pocomc_tpu as pc
+
+
+def _mixture(d=2, sep=4.0, sig=0.5, w1=0.6):
+    m = np.full(d, sep)
+    w2 = 1.0 - w1
+
+    def loglike(x):
+        l1 = -0.5 * jnp.sum((x - m) ** 2, axis=-1) / sig**2 \
+             - d * jnp.log(np.sqrt(2 * np.pi) * sig)
+        l2 = -0.5 * jnp.sum((x + m) ** 2, axis=-1) / sig**2 \
+             - d * jnp.log(np.sqrt(2 * np.pi) * sig)
+        return jnp.logaddexp(jnp.log(w1) + l1, jnp.log(w2) + l2)
+
+    ps = 10.0
+    var = sig**2 + ps**2
+    z1 = w1 * np.exp(-0.5 * np.sum(m**2) / var) / (2 * np.pi * var) ** (d / 2)
+    z2 = w2 * np.exp(-0.5 * np.sum(m**2) / var) / (2 * np.pi * var) ** (d / 2)
+    prior = pc.Prior([pc.Normal(0, ps) for _ in range(d)])
+    return loglike, prior, np.log(z1 + z2), z1 / (z1 + z2)
+
+
+def test_imh_bimodal_mixture():
+    """Mode mass and logZ on a bimodal target — the global-move kernel's
+    home turf (measured at ~half the likelihood calls of tpcn here)."""
+    loglike, prior, logz_true, mass1_true = _mixture()
+    s = pc.Sampler(prior, loglike, vectorize=True, random_state=0,
+                   n_effective=512, n_active=256, sample="imh",
+                   flow="nsf3", train_config={"epochs": 60, "patience": 8})
+    s.run(n_total=1024, n_evidence=2048, progress=False)
+    assert s.logz == pytest.approx(logz_true, abs=0.3)
+    x, w, _, _ = s.posterior()
+    mass1 = float(w[x[:, 0] > 0].sum() / w.sum())
+    assert mass1 == pytest.approx(mass1_true, abs=0.1)
+
+
+def test_imh_blackbox_likelihood():
+    """imh needs no gradients: a plain-numpy (non-traceable) likelihood
+    runs through the host-driven path."""
+    def loglike(x):
+        x = np.asarray(x)
+        return -0.5 * np.sum(x**2, axis=-1) - x.shape[-1] / 2 * np.log(2 * np.pi)
+
+    from scipy.stats import norm
+    expect = 2 * norm.logpdf(0, 0, np.sqrt(26.0))
+    prior = pc.Prior([pc.Normal(0, 5), pc.Normal(0, 5)])
+    s = pc.Sampler(prior, loglike, vectorize=True, random_state=0,
+                   n_effective=256, n_active=128, sample="imh",
+                   flow="nsf3", train_config={"epochs": 40, "patience": 5})
+    assert not s.likelihood_traceable
+    s.run(n_total=512, n_evidence=512, progress=False)
+    assert s.logz == pytest.approx(expect, abs=0.4)
+
+
+def test_imh_requires_preconditioning():
+    with pytest.raises(ValueError, match="precondition"):
+        pc.Sampler(pc.Prior([pc.Normal(0, 1), pc.Normal(0, 1)]),
+                   lambda x: -jnp.sum(x**2, axis=-1), sample="imh",
+                   precondition=False)
