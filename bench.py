@@ -25,13 +25,10 @@ import numpy as np
 
 def _enable_cache(jax):
     import os
+    from pocomc_tpu.utils.tools import enable_compile_cache
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    enable_compile_cache(cache_dir)
 
 
 def bench_quickstart():
@@ -129,13 +126,16 @@ def bench_kernel():
     assert int(res["steps"]) == n_steps_fixed
 
     # timed runs; median over reps (the TPU link has rare multi-second
-    # stall episodes that would corrupt a mean)
+    # stall episodes that would corrupt a mean). Each rep ends with a
+    # device_get ROUND TRIP: on the tunneled backend block_until_ready
+    # can ack at enqueue (CLAUDE.md), which would time dispatch instead
+    # of execution.
     n_rep = 7
     dts = []
     for i in range(n_rep):
         t0 = time.perf_counter()
         res = run(jax.random.key(2 + i))
-        jax.block_until_ready(res["u"])
+        np.asarray(jax.device_get(res["u"][0]))
         dts.append(time.perf_counter() - t0)
     dt = float(np.median(dts))
 

@@ -347,16 +347,6 @@ def make_train_program(flow, n_select: int, batch_size: int,
     return jax.jit(train)
 
 
-def make_geometry_program(flow=None):
-    """Weighted geometry fit alone (used when flow training is skipped in
-    u-space mode; reference sampler.py:674)."""
-
-    def fit(u_sel, w_sel, seed):
-        return _fit_geometry_impl(u_sel, w_sel, jax.random.key(seed))
-
-    return jax.jit(fit)
-
-
 def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
                         metric: str = "ess", preconditioned: bool = True):
     """Phase C: resample + adaptive MCMC sweep + history write +

@@ -518,13 +518,30 @@ class Sampler:
         self._slot_count = 0
         self._synced_slots = 0
 
+    @staticmethod
+    def _data_key(v):
+        """Content-stable key for likelihood args/kwargs. repr() truncates
+        large arrays ('...') and rounds floats, so value-distinct datasets
+        could collide in the engine cache and silently reuse programs with
+        another Sampler's data baked in as trace constants."""
+        try:
+            a = np.asarray(v)
+            if a.dtype != object:
+                import hashlib
+                return (str(a.dtype), a.shape,
+                        hashlib.sha1(a.tobytes()).hexdigest())
+        except Exception:
+            pass
+        return repr(v)
+
     def _engine_key(self):
         """Everything baked into the shared jitted programs' traces."""
         sc = self.scaler
         like = self.log_likelihood
         return (
-            id(like.f), tuple(map(repr, like.args)),
-            tuple(sorted((k, repr(v)) for k, v in like.kwargs.items())),
+            id(like.f), tuple(map(self._data_key, like.args)),
+            tuple(sorted((k, self._data_key(v))
+                         for k, v in like.kwargs.items())),
             self.vectorize, id(self.prior),
             self.n_dim, self.n_active, self.n_steps, self.n_max_steps,
             self.plateau_z,
@@ -781,7 +798,7 @@ class Sampler:
     def _seed32(self):
         return np.uint32(self._rng.integers(2**31 - 1))
 
-    def _select_bucket(self, t_max, beta_now):
+    def _select_bucket(self, t_max):
         """Static top-K training/geometry-set size: pow2 bucket of 4x the
         run's maximum effective support. The history ESS reaches n_total
         at termination (reference keeps the whole trimmed set,
@@ -872,7 +889,10 @@ class Sampler:
         ess1_h = (effective_sample_size(w) if self.metric == "ess"
                   else unique_sample_size(w))
         ess_h = ess1_h if beta_h >= 1.0 else float(self.n_effective)
-        self._iter_walls = []  # per-iteration wall-clock diagnostics
+        # per-iteration (wall, steps, n_select) diagnostics: written for
+        # post-hoc inspection (perf forensics scripts read it); not
+        # consumed by the run itself
+        self._iter_walls = []
 
         import time as _time
         # Pipelined execution. Measured on the v5e tunnel (quickstart):
@@ -944,7 +964,7 @@ class Sampler:
                     t_max *= 2
                     hist = fused.grow_history(hist, t_max)
 
-                n_select = self._select_bucket(t_max, beta_h)
+                n_select = self._select_bucket(t_max)
                 progA, progB, progC = self._device_programs(n_select)
 
                 self.t += 1
@@ -1278,8 +1298,12 @@ class Sampler:
                 finite = jnp.isfinite(logp)
                 x_safe = jnp.where(finite[:, None], x_q, 0.0)
                 logl = jnp.where(finite, like(x_safe), -jnp.inf)
+                # prior-rejected draws -> NaN (dropped from the average,
+                # reference sampler.py:897-901); -inf-LIKELIHOOD draws
+                # keep their -inf logw and stay in the denominator
+                # (reference keeps them in len(logw) at :910)
                 return jnp.where(finite, logl + logp + logdetj - logq,
-                                 -jnp.inf)
+                                 jnp.nan)
 
             self._prog_cache[key] = jax.jit(ev)
         return self._prog_cache[key]
@@ -1293,7 +1317,7 @@ class Sampler:
             logw = np.asarray(jax.device_get(
                 self._evidence_program(n)(self.flow.params, self._seed32(),
                                           self._scp())), dtype=np.float64)
-            logw = logw[np.isfinite(logw)]
+            logw = logw[~np.isnan(logw)]
         else:
             u_q, logq = self.flow.sample(n, key=self._next_key())
             x_q, logdetj = self._scaler_inverse(u_q, self._scp())

@@ -43,10 +43,13 @@ def enable_compile_cache(path=None):
 
     The framework's hot programs (adaptive sweep, flow training, fused
     SMC iteration) cost 2-4 minutes of XLA compilation on first use; the
-    persistent cache turns every later process's cold start into a disk
-    read (measured round 1: 47s -> ~4s to first iteration).  The
-    reference has no compile step so it never pays this — this closes
-    the cold-start gap.
+    persistent cache turns every later process's local compile into a
+    disk read (a cached big program traces in ~1 s and loads in ~0.4 s).
+    Measured caveat (docs/tpu.md): remote-TPU (tunneled PJRT) backends
+    additionally initialize each executable server-side on its FIRST
+    execution (~60 s per big program on the v5e tunnel) — the cache
+    cannot remove that part; on locally attached devices it removes
+    cold start entirely.
 
     Called automatically by Sampler(compile_cache=True) (the default).
     Resolution order: explicit ``path`` argument, the

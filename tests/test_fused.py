@@ -97,3 +97,54 @@ def test_device_loop_matches_host_path():
         assert s.logz == pytest.approx(expect, abs=0.3), (mode, s.logz)
     # both paths near the truth implies they agree with each other
     assert logz[True] == pytest.approx(logz[False], abs=0.3)
+
+
+def test_device_evidence_keeps_inf_likelihood_rows():
+    """Hard-constraint likelihood (-inf inside the prior volume): the
+    device-path evidence must keep zero-likelihood draws in the IS
+    denominator (reference sampler.py:904-910 semantics) — dropping them
+    inflates logZ by -log(1-f)."""
+    from scipy.stats import norm
+
+    def loglike(x):
+        base = -0.5 * jnp.sum(x**2, axis=-1) - jnp.log(2 * jnp.pi)
+        return jnp.where(x[..., 0] > 0, base, -jnp.inf)
+
+    expect = 2 * norm.logpdf(0, 0, np.sqrt(26.0)) + np.log(0.5)
+    prior = pc.Prior([pc.Normal(0, 5), pc.Normal(0, 5)])
+    logz = {}
+    for mode in (True, False):
+        s = pc.Sampler(prior, loglike, vectorize=True, random_state=0,
+                       n_effective=256, n_active=128, flow="nsf3",
+                       device_loop=mode,
+                       train_config={"epochs": 40, "patience": 5})
+        s.run(n_total=512, n_evidence=2048, progress=False)
+        logz[mode] = s.logz
+        assert s.logz == pytest.approx(expect, abs=0.35), (mode, s.logz)
+    assert logz[True] == pytest.approx(logz[False], abs=0.3)
+
+
+def test_engine_cache_distinguishes_datasets():
+    """Two Samplers sharing a likelihood FUNCTION but with different
+    large data arrays must not share baked-in engine programs (repr()
+    truncates big arrays; the key hashes content)."""
+    rng = np.random.default_rng(0)
+    data_a = rng.normal(0.0, 1.0, size=2048).astype(np.float64)
+    data_b = data_a.copy()
+    data_b[1500] += 4.0   # differs beyond repr()'s summarized view
+
+    def loglike(x, data):
+        return -0.5 * jnp.sum((x[..., None] - data) ** 2, axis=(-1, -2)) \
+            / data.shape[0]
+
+    prior = pc.Prior([pc.Normal(0, 5)])
+    logz = {}
+    for tag, data in (("a", data_a), ("b", data_b)):
+        s = pc.Sampler(prior, loglike, likelihood_args=[jnp.asarray(data)],
+                       vectorize=True, random_state=0, n_effective=128,
+                       n_active=64, precondition=False)
+        s.run(n_total=256, n_evidence=0, progress=False)
+        logz[tag] = float(s.particles.compute_logw_and_logz(1.0)[1])
+    # different data -> different evidence; a cache collision would make
+    # them bitwise identical
+    assert logz["a"] != logz["b"]
