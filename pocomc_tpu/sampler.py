@@ -1119,10 +1119,30 @@ class Sampler:
         if blobs is not None:
             blobs = blobs.copy()
         calls = 0
+        # Two round trips per step instead of three: the previous step's
+        # packed [i, cnt, sigma, mean_alpha] stats ride in the SAME
+        # transfer as the next step's proposal (their device values exist
+        # by then), and the continue/stop decision happens BEFORE that
+        # proposal's likelihood is evaluated — a stop discards only the
+        # speculative device-side proposal, never a likelihood batch.
+        prop = sweep.propose(st, beta, geom, flow_params, self._scp())
+        pending_stats = None
         while True:
-            prop = sweep.propose(st, beta, geom, flow_params, self._scp())
-            # one batched pull for the proposal instead of two scalar syncs
-            finite, x_safe = jax.device_get((prop["finite"], prop["x_safe"]))
+            if pending_stats is None:
+                finite, x_safe = jax.device_get(
+                    (prop["finite"], prop["x_safe"]))
+            else:
+                finite, x_safe, stats = jax.device_get(
+                    (prop["finite"], prop["x_safe"], pending_stats))
+                stats = np.asarray(stats, dtype=np.float64)
+                i, cnt, sigma = int(stats[0]), int(stats[1]), float(stats[2])
+                if self.pbar is not None:
+                    # reference shows these live per step (mcmc.py:159-167)
+                    self.pbar.update_stats(dict(
+                        calls=self.calls + calls, acc=float(stats[3]),
+                        steps=i))
+                if not sweep.should_continue(i, cnt, sigma):
+                    break
             finite = np.asarray(finite)
             logl_p = np.full(n, -np.inf)
             blobs_p = None
@@ -1142,15 +1162,8 @@ class Sampler:
             if blobs_p is not None:
                 acc = np.asarray(jax.device_get(accept))
                 blobs[acc] = blobs_p[acc]
-            # packed [i, cnt, sigma, mean_alpha]: ONE transfer per step
-            # (reference shows these live per step at mcmc.py:159-167)
-            stats = np.asarray(jax.device_get(stats), dtype=np.float64)
-            i, cnt, sigma = int(stats[0]), int(stats[1]), float(stats[2])
-            if self.pbar is not None:
-                self.pbar.update_stats(dict(
-                    calls=self.calls + calls, acc=float(stats[3]), steps=i))
-            if not sweep.should_continue(i, cnt, sigma):
-                break
+            pending_stats = stats
+            prop = sweep.propose(st, beta, geom, flow_params, self._scp())
         results = sweep.results(st)
         results = dict(results)
         results["calls"] = calls
