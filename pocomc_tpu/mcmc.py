@@ -246,14 +246,19 @@ def make_sweep(
         if kind == "hmc":
             # Hamiltonian proposal: leapfrog with unit mass in the
             # geometry-whitened coordinates y = L^-1 v (equivalent to
-            # mass matrix M = cov^-1 in v-space); eps = st.sigma, a
-            # static n_leapfrog steps. Volume-preserving + symmetric, so
-            # the Metropolis correction is the kinetic-energy difference
-            # only. Out-of-support intermediate points contribute zero
-            # gradient (the trajectory coasts) and an invalid endpoint is
-            # rejected by the -inf target.
+            # mass matrix M = cov^-1 in v-space); eps = st.sigma. The
+            # trajectory length is JITTERED uniformly in 1..n_leapfrog
+            # per sweep step (traced fori bound) — fixed-length HMC can
+            # resonate with the target's periods and jittering is the
+            # standard cure (Neal 2011 s3.2). Volume-preserving +
+            # symmetric, so the Metropolis correction is the kinetic-
+            # energy difference only. Out-of-support intermediate points
+            # contribute zero gradient (the trajectory coasts) and an
+            # invalid endpoint is rejected by the -inf target.
             q = jnp.zeros(n, cur.dtype)
             eps = st.sigma
+            k_norm, k_len = jax.random.split(k_norm)
+            n_leap = jax.random.randint(k_len, (), 1, n_leapfrog + 1)
             z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
             y0 = solve_triangular(n_chol, cur.T, lower=True).T
             g_y0 = st.grad @ n_chol            # L^T grad_v, row form
@@ -276,7 +281,7 @@ def make_sweep(
                 return (y, p, g_y, calls_in, aux)
 
             y, p, g_y, calls_in, aux = jax.lax.fori_loop(
-                0, n_leapfrog, leap, (y0, p0, g_y0, calls0, aux0))
+                0, n_leap, leap, (y0, p0, g_y0, calls0, aux0))
             p = p - 0.5 * eps * g_y            # trailing half kick
             u_p, x_p, x_safe, ldj_p, theta_p, ldjf_p, logp_p, logl_p, \
                 finite = aux

@@ -63,8 +63,8 @@ def test_gradient_sweep_targets_correct_distribution(kind):
     np.testing.assert_allclose(xs.mean(axis=0), np.zeros(d), atol=0.25)
     np.testing.assert_allclose(np.cov(xs.T), post_cov, atol=0.35)
     if kind == "hmc":
-        # n_leapfrog inner evaluations per step must be counted
-        assert int(res["calls"]) >= 3 * 120 * 1024
+        # jittered 1..n_leapfrog inner evaluations per step are counted
+        assert 120 * 1024 <= int(res["calls"]) <= (3 * 120 + 1) * 1024
 
 
 def test_mala_grad_zero_outside_support():
