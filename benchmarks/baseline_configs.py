@@ -47,6 +47,29 @@ def rosenbrock10():
         n_effective=2048, n_active=1024)
 
 
+def _posterior_moment_check(s, cov, ps):
+    """Weighted posterior mean/cov against the analytic Gaussian
+    posterior (precision = C^-1 + I/ps^2). Reports worst-coordinate
+    z-score-style errors normalized by the posterior scale."""
+    prec = np.linalg.inv(cov) + np.eye(cov.shape[0]) / ps**2
+    post_cov = np.linalg.inv(prec)
+    sd = np.sqrt(np.diag(post_cov))
+    x, w, _, _ = s.posterior()
+    w = w / w.sum()
+    mean = w @ x
+    xc = x - mean
+    emp_cov = (xc * w[:, None]).T @ xc
+    mean_err = np.max(np.abs(mean) / sd)
+    var_err = np.max(np.abs(np.diag(emp_cov) / np.diag(post_cov) - 1.0))
+    corr = post_cov / np.outer(sd, sd)
+    emp_sd = np.sqrt(np.diag(emp_cov))
+    emp_corr = emp_cov / np.outer(emp_sd, emp_sd)
+    corr_err = np.max(np.abs(emp_corr - corr))
+    print(f"  posterior moments: max |mean|/sd {mean_err:.3f}  "
+          f"max |var ratio - 1| {var_err:.3f}  "
+          f"max |corr err| {corr_err:.3f}", flush=True)
+
+
 def gauss50():
     d = 50
     rng = np.random.default_rng(0)
@@ -61,8 +84,9 @@ def gauss50():
     prior = pc.Prior([pc.Normal(0, ps) for _ in range(d)])
     expect = multivariate_normal.logpdf(np.zeros(d), np.zeros(d),
                                         cov + ps**2 * np.eye(d))
-    run("gauss50 cond1e3 N(0,100)", prior, loglike, expect,
-        n_effective=4096, n_active=2048)
+    s = run("gauss50 cond1e3 N(0,100)", prior, loglike, expect,
+            n_effective=4096, n_active=2048)
+    _posterior_moment_check(s, cov, ps)
 
 
 def mixture20():
@@ -116,8 +140,9 @@ def cosmo30():
     prior = pc.Prior([pc.Normal(0, ps) for _ in range(d)])
     expect = multivariate_normal.logpdf(np.zeros(d), np.zeros(d),
                                         cov + ps**2 * np.eye(d))
-    run("cosmo30 8192/2048", prior, loglike, expect,
-        n_effective=8192, n_active=2048)
+    s = run("cosmo30 8192/2048", prior, loglike, expect,
+            n_effective=8192, n_active=2048)
+    _posterior_moment_check(s, cov, ps)
 
 
 ALL = dict(rosenbrock10=rosenbrock10, gauss50=gauss50, mixture20=mixture20,
