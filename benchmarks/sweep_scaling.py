@@ -9,8 +9,8 @@ from pocomc_tpu.models.geometry import fit_geometry_jax
 from pocomc_tpu.scaler import Reparameterize
 from pocomc_tpu.prior import Prior, Normal
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from pocomc_tpu.utils.tools import enable_compile_cache
+enable_compile_cache()
 
 n_dim = 10
 n_steps_fixed = 16
@@ -44,7 +44,9 @@ for n_active in (1024, 4096, 16384, 65536, 262144):
                      jnp.float32(0.75), geom, key, flow_params=flow.params)
 
     res = run(jax.random.key(1))
-    jax.block_until_ready(res["u"])
+    # warmup must end with a true round trip: block_until_ready can ack
+    # at enqueue on the tunneled backend (CLAUDE.md)
+    np.asarray(jax.device_get(res["u"][0]))
     dts = []
     for i in range(5):
         t0 = time.perf_counter()

@@ -462,7 +462,12 @@ class Sampler:
             ekey = self._engine_key()
             entry = _ENGINE_CACHE.get(ekey)
             if entry is None:
-                entry = {"__refs__": (self.log_likelihood.f, self.prior)}
+                # pin every identity-keyed ingredient (fn, prior, args,
+                # kwargs): id()/default-repr addresses must not be
+                # recyclable while the cache entry lives
+                entry = {"__refs__": (self.log_likelihood.f, self.prior,
+                                      self.log_likelihood.args,
+                                      self.log_likelihood.kwargs)}
                 _ENGINE_CACHE[ekey] = entry
                 while len(_ENGINE_CACHE) > _ENGINE_CACHE_MAX:
                     _ENGINE_CACHE.popitem(last=False)
@@ -1330,7 +1335,11 @@ class Sampler:
             logw = np.asarray(jax.device_get(
                 self._evidence_program(n)(self.flow.params, self._seed32(),
                                           self._scp())), dtype=np.float64)
-            logw = logw[~np.isnan(logw)]
+            # drop NaN (prior-rejected: reference parity, sampler.py:
+            # 897-901 removes them from the average too) and any
+            # pathological +inf overflow row (would poison logz/k-hat);
+            # KEEP -inf-likelihood rows in the denominator
+            logw = logw[~(np.isnan(logw) | np.isposinf(logw))]
         else:
             u_q, logq = self.flow.sample(n, key=self._next_key())
             x_q, logdetj = self._scaler_inverse(u_q, self._scp())
