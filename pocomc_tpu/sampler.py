@@ -314,7 +314,12 @@ class Sampler:
 
         # Evidence estimator: plain flow-IS ("is", the reference's
         # sampler.py:869-920) or Pareto-smoothed IS ("psis", ops/psis.py).
-        # The k-hat tail diagnostic is computed either way.
+        # The k-hat tail diagnostic is computed either way. (Optimal
+        # bridge sampling between the flow and the posterior history was
+        # built and MEASURED WORSE on every heavy-tail config — when the
+        # flow/posterior overlap is poor it degenerates with
+        # overconfident error bars; RESULTS.md "bridge-sampling
+        # postmortem" — and deleted per the parity-code-is-debt rule.)
         if evidence_method not in ("is", "psis"):
             raise ValueError(f"Invalid evidence_method {evidence_method}. "
                              f"Options are 'is' or 'psis'.")
