@@ -117,29 +117,42 @@ def bench_kernel():
     w = jnp.full((n_active,), 1.0 / n_active, dtype=jnp.float32)
     geom = fit_geometry_jax(u, weights=w, key=k2)
 
-    def run(key):
-        return sweep(u, x, logdetj, logl, logp, jnp.float32(0.7),
-                     jnp.float32(0.75), geom, key, flow_params=flow.params)
+    # K data-dependent sweeps chained inside ONE jitted program: a single
+    # ~40 ms sweep per timed call would be contaminated by the tunnel's
+    # 10-75 ms round-trip latency (CLAUDE.md timing methodology); the
+    # chain amortizes one RTT over K sweeps of real device work.
+    k_chain = 4
 
-    res = run(jax.random.key(1))
-    jax.block_until_ready(res["u"])
-    assert int(res["steps"]) == n_steps_fixed
+    def run_chain(key):
+        def body(carry, k):
+            u_c, x_c, ldj_c, logl_c, logp_c = carry
+            r = sweep.raw(u_c, x_c, ldj_c, logl_c, logp_c,
+                          jnp.float32(0.7), jnp.float32(0.75), geom, k,
+                          flow_params=flow.params)
+            return (r["u"], r["x"], r["logdetj"], r["logl"],
+                    r["logp"]), r["steps"]
+        keys = jax.random.split(key, k_chain)
+        carry, steps = jax.lax.scan(body, (u, x, logdetj, logl, logp), keys)
+        return carry[0], steps
 
-    # timed runs; median over reps (the TPU link has rare multi-second
-    # stall episodes that would corrupt a mean). Each rep ends with a
-    # device_get ROUND TRIP: on the tunneled backend block_until_ready
-    # can ack at enqueue (CLAUDE.md), which would time dispatch instead
-    # of execution.
+    run_chain = jax.jit(run_chain)
+    u_out, steps = run_chain(jax.random.key(1))
+    jax.block_until_ready(u_out)
+    assert int(jax.device_get(steps)[0]) == n_steps_fixed
+
+    # median over reps (the TPU link has rare multi-second stall episodes
+    # that would corrupt a mean); each rep ends with a device_get ROUND
+    # TRIP — block_until_ready can ack at enqueue on this backend.
     n_rep = 7
     dts = []
     for i in range(n_rep):
         t0 = time.perf_counter()
-        res = run(jax.random.key(2 + i))
-        np.asarray(jax.device_get(res["u"][0]))
+        u_out, _ = run_chain(jax.random.key(2 + i))
+        np.asarray(jax.device_get(u_out[0]))
         dts.append(time.perf_counter() - t0)
     dt = float(np.median(dts))
 
-    particle_steps_per_sec = n_active * n_steps_fixed / dt
+    particle_steps_per_sec = k_chain * n_active * n_steps_fixed / dt
     baseline = 343.0  # reference CPU particle-steps/sec (BASELINE.md)
     print(json.dumps({
         "metric": "tpcn_particle_steps_per_sec_rosenbrock10_nsf6",
