@@ -39,21 +39,31 @@ for n_active in (1024, 4096, 16384, 65536, 262144):
     w = jnp.full((n_active,), 1.0 / n_active, dtype=jnp.float32)
     geom = fit_geometry_jax(u, weights=w, key=k2)
 
-    def run(key):
-        return sweep(u, x, logdetj, logl, logp, jnp.float32(0.7),
-                     jnp.float32(0.75), geom, key, flow_params=flow.params)
+    # K data-dependent sweeps chained in ONE program amortize the tunnel
+    # round trip over real device work (bench.py methodology)
+    k_chain = 4
 
-    res = run(jax.random.key(1))
-    # warmup must end with a true round trip: block_until_ready can ack
-    # at enqueue on the tunneled backend (CLAUDE.md)
-    np.asarray(jax.device_get(res["u"][0]))
+    def run_chain(key):
+        def body(carry, k):
+            u_c, x_c, ldj_c, logl_c, logp_c = carry
+            r = sweep.raw(u_c, x_c, ldj_c, logl_c, logp_c,
+                          jnp.float32(0.7), jnp.float32(0.75), geom, k,
+                          flow_params=flow.params)
+            return (r["u"], r["x"], r["logdetj"], r["logl"],
+                    r["logp"]), None
+        keys = jax.random.split(key, k_chain)
+        carry, _ = jax.lax.scan(body, (u, x, logdetj, logl, logp), keys)
+        return carry[0]
+
+    run_chain = jax.jit(run_chain)
+    np.asarray(jax.device_get(run_chain(jax.random.key(1))[0]))  # warmup
     dts = []
     for i in range(5):
         t0 = time.perf_counter()
-        res = run(jax.random.key(2 + i))
-        np.asarray(jax.device_get(res["u"][0]))  # true round trip
+        u_out = run_chain(jax.random.key(2 + i))
+        np.asarray(jax.device_get(u_out[0]))  # true round trip
         dts.append(time.perf_counter() - t0)
-    dt = float(np.median(dts))
+    dt = float(np.median(dts)) / k_chain
     rate = n_active * n_steps_fixed / dt
     print(f"n_active {n_active:>7}: {dt*1e3:8.1f} ms/sweep  "
           f"{rate/1e6:8.2f}M particle-steps/s", flush=True)
