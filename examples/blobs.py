@@ -5,6 +5,11 @@ a scalar (host) likelihood returning extra values that are stored as a
 structured array alongside the samples.
 """
 
+import sys as _sys
+import pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
+
 import numpy as np
 import pocomc_tpu as pc
 

@@ -4,6 +4,11 @@ TPU-native port of the reference checkpoint tutorial
 (docs/source/checkpoint.ipynb).
 """
 
+import sys as _sys
+import pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
+
 import jax.numpy as jnp
 import pocomc_tpu as pc
 

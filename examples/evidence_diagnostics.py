@@ -13,6 +13,11 @@ and exposes the tail index as `sampler.evidence_khat`:
 Run: python examples/evidence_diagnostics.py   (~2 min on CPU)
 """
 
+import sys as _sys
+import pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
+
 import numpy as np
 from scipy.stats import norm
 

@@ -6,6 +6,11 @@ priors. The likelihood is vectorized over the particle batch so the whole
 residual computation is one (n_particles, n_data) broadcast on device.
 """
 
+import sys as _sys
+import pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
+
 import numpy as np
 import jax.numpy as jnp
 import pocomc_tpu as pc

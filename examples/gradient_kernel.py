@@ -13,6 +13,11 @@ Here: an 8-D correlated Gaussian with known evidence, run with both
 kernels for comparison.
 """
 
+import sys as _sys
+import pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
+
 import numpy as np
 import jax.numpy as jnp
 from scipy.stats import multivariate_normal

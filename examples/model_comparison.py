@@ -4,6 +4,11 @@ TPU-native port of the reference tutorial (docs/source/model_comparison.ipynb):
 run the sampler once per model, compare evidences via the Bayes factor.
 """
 
+import sys as _sys
+import pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
+
 import numpy as np
 import jax.numpy as jnp
 import pocomc_tpu as pc

@@ -6,6 +6,11 @@ device mesh — particles shard over chips and the (JAX) likelihood runs
 SPMD — with host pools kept for black-box Python likelihoods.
 """
 
+import sys as _sys
+import pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
+
 import numpy as np
 import jax.numpy as jnp
 import pocomc_tpu as pc

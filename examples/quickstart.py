@@ -5,6 +5,11 @@ the likelihood is written in JAX so it compiles straight into the sampler's
 fused MCMC sweeps.
 """
 
+import sys as _sys
+import pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
+
 import jax.numpy as jnp
 import pocomc_tpu as pc
 
