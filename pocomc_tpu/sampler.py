@@ -226,9 +226,12 @@ class Sampler:
 
         # Pool for black-box likelihood fan-out
         self.pool = pool
-        if pool is None:
+        if pool is None or (isinstance(pool, int)
+                            and not isinstance(pool, bool) and pool <= 1):
+            # pool=1/0: serial evaluation, same as no pool
+            self.pool = None
             self.distribute = map
-        elif isinstance(pool, int) and pool > 1:
+        elif isinstance(pool, int) and not isinstance(pool, bool):
             # spawn context: fork after JAX initialization deadlocks
             import multiprocessing as _mp
             self.pool = _mp.get_context("spawn").Pool(pool)
@@ -743,7 +746,11 @@ class Sampler:
                 prog(jnp.asarray(self.prior_samples, dtype=jnp.float32),
                      self._scp()))]
 
-        for i in range(self.n_prior // self.n_active):
+        # resuming from a mid-warmup checkpoint: batches already stored in
+        # the history must not be replayed (slots would duplicate and the
+        # multiple-IS denominator would double-count their beta=0 terms)
+        start_batch = self.particles.t
+        for i in range(start_batch, self.n_prior // self.n_active):
             if save_every is not None and (self.t - t0) % int(save_every) == 0 and self.t != t0:
                 self.save_state(self.output_dir / f"{self.output_label}_{self.t}.state")
             sl = slice(i * self.n_active, (i + 1) * self.n_active)
@@ -1208,7 +1215,11 @@ class Sampler:
             theta, _ = self.flow.forward(jnp.asarray(u, dtype=jnp.float32))
             self.theta_geometry.fit(theta, weights=jnp.asarray(w, dtype=jnp.float32),
                                     key=self._next_key())
-        else:
+        elif not self.preconditioned:
+            # reference fits u_geometry every non-training iteration even
+            # when preconditioned (sampler.py:674), but the preconditioned
+            # kernels only ever read theta_geometry — skipping the unused
+            # Student-t EM saves a device program + sync per iteration
             self.u_geometry.fit(jnp.asarray(u, dtype=jnp.float32),
                                 weights=jnp.asarray(w, dtype=jnp.float32),
                                 key=self._next_key())
@@ -1359,6 +1370,9 @@ class Sampler:
                                         logq[finite], logp[finite])
             logl, _ = self._log_like(x_q)
             logw = logl + logp + logdetj - logq
+            # same guard as the device path: a NaN user likelihood or a
+            # +inf overflow row would poison logz/k-hat; -inf rows stay
+            logw = logw[~(np.isnan(logw) | np.isposinf(logw))]
 
         # tail diagnostic is always computed; smoothing applies only under
         # evidence_method="psis"
@@ -1466,7 +1480,11 @@ class Sampler:
                       "n_evidence", "proposal_scale", "warmup", "logz",
                       "logz_err", "flow_untrained", "dynamic_ratio",
                       "progress", "preconditioned", "metric", "sample",
-                      "resample", "dynamic", "train_frequency", "have_blobs")
+                      "resample", "dynamic", "train_frequency", "have_blobs",
+                      # added later (loaders tolerate their absence in
+                      # older state dicts)
+                      "n_steps", "n_max_steps", "plateau_z", "n_leapfrog",
+                      "pipeline", "evidence_method")
 
     def state_dict(self):
         """Picklable snapshot: history, flow params, scaler/geometry
@@ -1493,8 +1511,20 @@ class Sampler:
         return state
 
     def load_state_dict(self, state):
+        # Config scalars that are BAKED INTO the jitted programs: if the
+        # checkpoint's value differs from this instance's construction,
+        # the programs must be rebuilt — silently running the
+        # constructor's kernel while reporting the checkpoint's config
+        # would be wrong in both directions.
+        program_keys = ("sample", "preconditioned", "n_active", "n_steps",
+                        "n_max_steps", "plateau_z", "n_leapfrog")
+        rebuild = any(k in state and state[k] != getattr(self, k)
+                      for k in program_keys)
         for k in self._STATE_SCALARS:
-            setattr(self, k, state[k])
+            if k in state:   # older state dicts lack late-added scalars
+                setattr(self, k, state[k])
+        if rebuild:
+            self._build_device_fns()
         self.particles.past = state["particles_past"]
         self.particles.results_dict = None
         # invalidate device-loop caches tied to the previous run
@@ -1578,8 +1608,14 @@ class Sampler:
         flow_obj = state.pop("_flow_obj", None)
         scaler_cfg = state.pop("_scaler_config")
         self.__dict__.update(state)
-        self.__dict__.setdefault("pipeline", 1)  # pre-pipeline checkpoints
-        self.__dict__.setdefault("n_leapfrog", 5)
+        # attributes added after pickling support shipped: backfill so
+        # pickles from every earlier version unpickle and run
+        for attr, default in (("pipeline", 1), ("n_leapfrog", 5),
+                              ("device_loop", "auto"), ("plateau_z", 0.75),
+                              ("evidence_method", "is"),
+                              ("evidence_khat", None),
+                              ("profile_dir", None)):
+            self.__dict__.setdefault(attr, default)
         self.pool = None
         self.distribute = map
         self.pbar = None

@@ -126,3 +126,29 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     x1, _, _, _ = s.posterior()
     x2, _, _, _ = s2.posterior()
     np.testing.assert_allclose(x1, x2)
+
+
+def test_mid_warmup_resume_does_not_duplicate_batches(tmp_path):
+    """A checkpoint taken mid-warmup (warmup=True with some prior-stage
+    slots already stored) must resume at the next batch, not replay from
+    batch 0 — replayed slots would double-count their beta=0 terms in
+    the multiple-IS denominator."""
+    s = make_sampler(tmp_path)
+    s.run(n_total=256, n_evidence=0, progress=False)
+    n_batches = s.n_prior // s.n_active
+    betas = np.asarray(s.particles.get("beta"))
+    assert int((betas == 0).sum()) == n_batches
+
+    # fabricate a mid-warmup checkpoint: first warmup slot only
+    state = s.state_dict()
+    state["particles_past"] = {k: v[:1] for k, v in
+                               state["particles_past"].items()}
+    state["warmup"] = True
+    state["t"] = 0
+    state["calls"] = s.n_active
+
+    s2 = make_sampler(tmp_path)
+    s2.load_state_dict(state)
+    s2.run(n_total=256, n_evidence=0, progress=False)
+    betas2 = np.asarray(s2.particles.get("beta"))
+    assert int((betas2 == 0).sum()) == n_batches  # not n_batches + 1
