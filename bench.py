@@ -8,8 +8,9 @@ Prints TWO JSON lines:
    un-timed run warms the jit caches; a second full Sampler run is
    timed). Baseline: the reference executes the identical inference in
    150 s on CPU (BASELINE.md quickstart row; logZ -21.430 +- 0.027).
-   The timed run's logZ is checked against the reference value to +-0.15
-   so a statistically broken run can't score.
+   The median logZ is gated against the EXACT quadrature value -21.4021
+   to +-0.35 (matching the assertion below) so a statistically broken
+   run can't score while ordinary seed-to-seed flow-IS spread passes.
 
 2. Kernel throughput — t-pCN mutation particle-steps/sec with an NSF-6
    preconditioner at 4096 active particles (fixed 16-step sweep).

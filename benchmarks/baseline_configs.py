@@ -35,7 +35,7 @@ def run(name, prior, loglike, expect, seed=0, **kw):
     return s
 
 
-def rosenbrock10():
+def rosenbrock10(**kw):
     # chained variant, coeff 100; truth -50.033 by transfer-matrix
     # quadrature (8001-pt grid, validated stable vs grid refinement)
     d = 10
@@ -44,7 +44,7 @@ def rosenbrock10():
         return -jnp.sum(100.0 * (x[..., 1:] - x[..., :-1] ** 2) ** 2
                         + (1.0 - x[..., :-1]) ** 2, axis=-1)
     run("rosenbrock10-chained (1024 active)", prior, loglike, -50.033,
-        n_effective=2048, n_active=1024)
+        n_effective=2048, n_active=1024, **kw)
 
 
 def _posterior_moment_check(s, cov, ps):
@@ -70,7 +70,7 @@ def _posterior_moment_check(s, cov, ps):
           f"max |corr err| {corr_err:.3f}", flush=True)
 
 
-def gauss50():
+def gauss50(**kw):
     d = 50
     rng = np.random.default_rng(0)
     evals = np.logspace(0, 3, d)
@@ -85,11 +85,11 @@ def gauss50():
     expect = multivariate_normal.logpdf(np.zeros(d), np.zeros(d),
                                         cov + ps**2 * np.eye(d))
     s = run("gauss50 cond1e3 N(0,100)", prior, loglike, expect,
-            n_effective=4096, n_active=2048)
+            n_effective=4096, n_active=2048, **kw)
     _posterior_moment_check(s, cov, ps)
 
 
-def mixture20():
+def mixture20(**kw):
     d, sep, sig = 20, 2.0, 1.0
     w1, w2 = 0.7, 0.3
     m = np.full(d, sep)
@@ -105,13 +105,13 @@ def mixture20():
     logcomp = -0.5 * np.sum(m**2) / var - (d / 2) * np.log(2 * np.pi * var)
     expect = logcomp  # w1+w2 = 1, symmetric modes
     s = run("mixture20 70/30", prior, loglike, expect,
-            n_effective=2048, n_active=1024)
+            n_effective=2048, n_active=1024, **kw)
     x, w, _, _ = s.posterior()
     mass1 = float(w[x[:, 0] > 0].sum() / w.sum())
     print(f"  mode mass recovered {mass1:.3f} (true 0.700)", flush=True)
 
 
-def funnel25():
+def funnel25(**kw):
     d, sv, half = 25, 3.0, 40.0
     def loglike(x):
         v = x[..., 0]
@@ -123,10 +123,10 @@ def funnel25():
                      + [pc.Uniform(-half, half) for _ in range(d - 1)])
     expect = (d - 1) * np.log(1.0 / (2 * half))
     run("funnel25", prior, loglike, expect,
-        n_effective=2048, n_active=1024)
+        n_effective=2048, n_active=1024, **kw)
 
 
-def cosmo30():
+def cosmo30(**kw):
     d = 30
     rng = np.random.default_rng(0)
     evals = np.logspace(0, 2, d)
@@ -141,7 +141,7 @@ def cosmo30():
     expect = multivariate_normal.logpdf(np.zeros(d), np.zeros(d),
                                         cov + ps**2 * np.eye(d))
     s = run("cosmo30 8192/2048", prior, loglike, expect,
-            n_effective=8192, n_active=2048)
+            n_effective=8192, n_active=2048, **kw)
     _posterior_moment_check(s, cov, ps)
 
 
@@ -149,6 +149,19 @@ ALL = dict(rosenbrock10=rosenbrock10, gauss50=gauss50, mixture20=mixture20,
            funnel25=funnel25, cosmo30=cosmo30)
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or list(ALL)
-    for n in names:
-        ALL[n]()
+    # extra `key=value` args become Sampler kwargs (e.g. corr_threshold=0)
+    names, kw = [], {}
+    for a in sys.argv[1:]:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            try:
+                kw[k] = int(v)
+            except ValueError:
+                try:
+                    kw[k] = float(v)
+                except ValueError:
+                    kw[k] = v
+        else:
+            names.append(a)
+    for n in (names or list(ALL)):
+        ALL[n](**kw)

@@ -50,6 +50,8 @@ class SweepState(NamedTuple):
     logp2: jnp.ndarray          # best plateau metric so far
     calls: jnp.ndarray          # likelihood call counter
     accept: jnp.ndarray         # mean acceptance of last step
+    v0: jnp.ndarray             # sweep-start positions (decorrelation probe)
+    corr: jnp.ndarray           # mean |per-dim corr(v0, v_now)| across dims
     key: jnp.ndarray
 
 
@@ -79,10 +81,21 @@ def _live_emit(i, cnt, sigma, accept, calls):
 def make_loglike_device(fn, vectorize: bool, traceable: bool, dtype=jnp.float32):
     """Wrap a user log-likelihood into `loglike(x, mask) -> logl` usable
     inside jit. Non-finite-mask rows receive -inf without being evaluated
-    (callback path) or with sanitized inputs (traced path)."""
+    (callback path) or with sanitized inputs (traced path).
+
+    The traced path runs under matmul precision 'float32': the TPU
+    default quantizes matmul/einsum INPUTS to bf16 (~3 decimal digits),
+    and a user likelihood built on einsums (e.g. a Gaussian quadratic
+    form) then returns logl with O(|logl| * 4e-3) noise. That noise
+    inflates every logsumexp-based weight reduction by ~sigma^2/2 nats
+    and compounds through the persistent-sampling logz ladder (measured:
+    +2.1 nats SMC-evidence error on the 50-D cond-1e3 Gaussian, gone at
+    f32 precision; RESULTS.md round 3). Likelihood matmuls are a tiny
+    fraction of sweep compute, so the extra MXU passes are noise."""
     if traceable:
         def loglike(x, mask):
-            logl = fn(x)
+            with jax.default_matmul_precision("float32"):
+                logl = fn(x)
             return jnp.where(mask, logl.astype(dtype), -jnp.inf)
         return loglike
 
@@ -122,6 +135,7 @@ def make_sweep(
     flow_fwd: Callable | None = None,   # (params, u) -> (theta, log|det du/dtheta|)
     flow_inv: Callable | None = None,   # (params, theta) -> (u, log|det du/dtheta|)
     plateau_z: float = 0.0,
+    corr_threshold: float = 0.0,        # decorrelation target; 0 disables
     live_stats: bool = False,           # per-step tap via jax.debug.callback
     n_leapfrog: int = 5,                # hmc only: leapfrog steps/proposal
 ):
@@ -142,6 +156,22 @@ def make_sweep(
 
     sqrt_d_scale = 2.38 / math.sqrt(n_dim)
     sigma_cap = min(sqrt_d_scale, 0.99)
+
+    def _batch_corr(v0, v):
+        """Mean |per-dim Pearson correlation| between the sweep-start and
+        current positions: the particle-diversity probe behind the
+        adaptive mutation budget (see `cond`). After resampling the
+        population is duplicate-heavy; the sweep's job is to restore
+        diversity, and this statistic measures directly how much memory
+        of the start positions remains. Pearson normalizes per dimension,
+        so no whitening is needed. Computed in the sampling space (flow
+        latents when preconditioned), one cheap reduction per step."""
+        v0c = v0 - jnp.mean(v0, axis=0)
+        vc = v - jnp.mean(v, axis=0)
+        num = jnp.mean(v0c * vc, axis=0)
+        den = jnp.sqrt(jnp.mean(v0c * v0c, axis=0)
+                       * jnp.mean(vc * vc, axis=0))
+        return jnp.mean(jnp.abs(num) / jnp.maximum(den, 1e-12))
     # Gradient kernels (beyond-reference, TPU-native: autodiff through
     # the composed flow/scaler/likelihood program); acceptance optima
     # 0.574 (MALA, Roberts & Rosenthal 1998) / 0.651 (HMC, Beskos et al.
@@ -424,11 +454,17 @@ def make_sweep(
         cnt = jnp.where(improved, 0, st.cnt + 1)
         logp2 = jnp.maximum(st.logp2, metric)
 
+        if corr_threshold > 0.0:
+            corr = _batch_corr(st.v0, theta if preconditioned else u)
+        else:
+            corr = st.corr
+
         new_st = SweepState(u, x, logdetj, logl, logp, theta, ldjf,
                             sigma, mu, grad, st.i + 1, cnt, logp2, calls,
-                            alpha_mean, prop["key"])
+                            alpha_mean, st.v0, corr, prop["key"])
         stats = jnp.stack([new_st.i.astype(sigma.dtype),
-                           cnt.astype(sigma.dtype), sigma, alpha_mean])
+                           cnt.astype(sigma.dtype), sigma, alpha_mean,
+                           corr.astype(sigma.dtype)])
         return new_st, accept, stats
 
     def cond(st: SweepState) -> jnp.ndarray:
@@ -441,17 +477,38 @@ def make_sweep(
             if kind == "rwm" and preconditioned:
                 ratio = jnp.minimum(1.0, ratio)
             thresh = n_steps * ratio**2
-        keep = (st.cnt < thresh) & (st.i < n_max)
+        keep = st.cnt < thresh
+        if corr_threshold > 0.0:
+            # Adaptive mutation budget: the plateau rule alone stops the
+            # sweep once the walker-mean energy stalls, which on curved
+            # geometries (funnels, strong nonlinear correlations) happens
+            # long before the resampled duplicates have decorrelated —
+            # the population then under-mixes at every temperature and
+            # the evidence biases (measured: 25-D funnel logZ err -2.02
+            # at the plateau default vs -0.99 under the reference rule).
+            # Requiring the start-position correlation to ALSO fall below
+            # corr_threshold keeps easy targets at the plateau-rule call
+            # count (they decorrelate within the plateau window) while
+            # hard geometries automatically buy more steps, up to n_max.
+            keep = keep | (st.corr > corr_threshold)
+        keep = keep & (st.i < n_max)
         return (st.i == 0) | keep
 
-    def should_continue(i, cnt, sigma) -> bool:
+    def should_continue(i, cnt, sigma, corr=0.0) -> bool:
         """Host-side copy of `cond` for the stepped driver."""
+        if i == 0:
+            return True
+        if i >= n_max:
+            return False
         if kind in ("mala", "hmc", "imh"):
-            return (i == 0) or (cnt < n_steps and i < n_max)
-        ratio = sqrt_d_scale / sigma
-        if kind == "rwm" and preconditioned:
-            ratio = min(1.0, ratio)
-        return (i == 0) or (cnt < n_steps * ratio**2 and i < n_max)
+            thresh = n_steps
+        else:
+            ratio = sqrt_d_scale / sigma
+            if kind == "rwm" and preconditioned:
+                ratio = min(1.0, ratio)
+            thresh = n_steps * ratio**2
+        return cnt < thresh or (corr_threshold > 0.0
+                                and corr > corr_threshold)
 
     def init_state(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
                    flow_params=None, scaler_params=None):
@@ -492,7 +549,9 @@ def make_sweep(
             i=jnp.asarray(0, jnp.int32), cnt=jnp.asarray(0, jnp.int32),
             logp2=metric0,
             calls=calls0,
-            accept=jnp.asarray(0.0, dtype), key=key,
+            accept=jnp.asarray(0.0, dtype),
+            v0=theta0 if preconditioned else u,
+            corr=jnp.asarray(1.0, dtype), key=key,
         )
 
     def _results(final: SweepState):

@@ -140,11 +140,17 @@ def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
                           n_bisect: int = 26):
     """Phase A: temperature selection + trimming + training-set selection.
 
-    Returns reweight(hist, n_effective) -> dict with
+    Returns reweight(hist, n_effective, n_total) -> dict with
       beta, logz          device scalars (feed phase C)
       w_flat (S,)         trimmed, renormalized flat history weights
       u_sel (K, d)        top-K-weight particles (training + geometry set)
       w_sel (K,)          their renormalized weights
+      terminated          device bool: the run's termination criterion
+                          (reference sampler.py:526-547) already held
+                          BEFORE this iteration — phase C turns the
+                          iteration into a free no-op (pipelined
+                          enqueue-ahead would otherwise overshoot by up
+                          to 2*pipeline full sweeps of likelihood calls)
       stats (5,)          [beta, logz, metric_at_beta, n_eff_next, uss_active]
 
     Mirrors reference sampler.py:717-805 (bisection branches, dynamic
@@ -153,7 +159,7 @@ def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
     metric tolerance.
     """
 
-    def reweight(hist: DeviceHistory, n_effective):
+    def reweight(hist: DeviceHistory, n_effective, n_total):
         T_max, n = hist.logl.shape
         valid_t = jnp.arange(T_max) < hist.t
         valid_flat = jnp.repeat(valid_t, n)
@@ -166,6 +172,12 @@ def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
         m_prev = _metric_of(w_prev, valid_flat, metric)
         w_one, _ = _flat_weights_at(hist, valid_t, valid_flat, one)
         m_one = _metric_of(w_one, valid_flat, metric)
+
+        # continue while 1-beta >= 1e-4 OR metric(beta=1) < n_total
+        # (reference sampler.py:526-547); once false it stays false (the
+        # history only grows), so phase C may skip the whole iteration
+        terminated = jnp.logical_not(
+            (1.0 - beta_prev >= 1e-4) | (m_one < n_total))
 
         def body(_, lohi):
             lo, hi = lohi
@@ -208,7 +220,7 @@ def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
 
         stats = jnp.stack([beta, logz, m_at, n_eff_next, nu_active])
         return dict(beta=beta, logz=logz, w_flat=w_t, u_sel=u_sel,
-                    w_sel=w_sel, stats=stats)
+                    w_sel=w_sel, stats=stats, terminated=terminated)
 
     return jax.jit(reweight)
 
@@ -358,14 +370,24 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
     iteration in the else branch of sampler.py:636-678).
 
     Returns mutate(hist, beta, logz, w_flat, u_sel, w_sel, sigma0, geom,
-    flow_params, seed) -> (hist', stats) with stats =
-    [accept, steps, calls, proposal_scale, metric_at_beta1, mean_logl_logp].
+    flow_params, seed[, scaler_params][, terminated]) -> (hist', stats)
+    with stats = [accept, steps, calls, proposal_scale, metric_at_beta1,
+    mean_logl_logp, noop].
+
+    `terminated` (from phase A) makes the whole iteration a device-side
+    no-op under `lax.cond`: the pipelined host enqueues up to 2*pipeline
+    iterations past the termination point before it can observe it, and
+    without the guard each of those ran a full sweep of likelihood calls
+    (measured: +4k calls = the whole round-2 quickstart drift over the
+    reference's 51,456). A skipped iteration leaves the history untouched
+    and reports steps=calls=0, noop=1.
     """
     resampler = (multinomial_resample_jax if resample == "mult"
                  else systematic_resample_jax)
 
     def mutate(hist: DeviceHistory, beta, logz, w_flat, u_sel, w_sel,
-               sigma0, geom, flow_params, seed, scaler_params=None):
+               sigma0, geom, flow_params, seed, scaler_params=None,
+               terminated=None):
         T_max, n, d = hist.u.shape
         key = jax.random.key(seed)
         k_res, k_geom, k_sweep = jax.random.split(key, 3)
@@ -373,19 +395,41 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
         if not preconditioned:
             geom = _fit_geometry_impl(u_sel, w_sel, k_geom)
 
-        idx = resampler(k_res, n_active, w_flat)
-        u = hist.u.reshape(T_max * n, d)[idx]
-        x = hist.x.reshape(T_max * n, d)[idx]
-        logdetj = hist.logdetj.reshape(-1)[idx]
-        logl = hist.logl.reshape(-1)[idx]
-        logp = hist.logp.reshape(-1)[idx]
+        def do_iter(hist):
+            idx = resampler(k_res, n_active, w_flat)
+            u = hist.u.reshape(T_max * n, d)[idx]
+            x = hist.x.reshape(T_max * n, d)[idx]
+            logdetj = hist.logdetj.reshape(-1)[idx]
+            logl = hist.logl.reshape(-1)[idx]
+            logp = hist.logp.reshape(-1)[idx]
 
-        res = sweep_raw(u, x, logdetj, logl, logp, beta, sigma0, geom,
-                        k_sweep, flow_params=flow_params,
-                        scaler_params=scaler_params)
+            res = sweep_raw(u, x, logdetj, logl, logp, beta, sigma0, geom,
+                            k_sweep, flow_params=flow_params,
+                            scaler_params=scaler_params)
 
-        hist = push_history(hist, res["u"], res["x"], res["logdetj"],
-                            res["logl"], res["logp"], beta, logz)
+            hist = push_history(hist, res["u"], res["x"], res["logdetj"],
+                                res["logl"], res["logp"], beta, logz)
+            s = jnp.stack([
+                res["accept"], res["steps"].astype(jnp.float32),
+                res["calls"].astype(jnp.float32), res["proposal_scale"],
+                jnp.mean(res["logl"] + res["logp"]),
+                jnp.asarray(0.0, jnp.float32)])
+            return hist, s
+
+        def skip_iter(hist):
+            last = jnp.maximum(hist.t - 1, 0)
+            lp_mean = jnp.mean(hist.logl[last] + hist.logp[last])
+            s = jnp.stack([jnp.asarray(0.0, jnp.float32),
+                           jnp.asarray(0.0, jnp.float32),
+                           jnp.asarray(0.0, jnp.float32),
+                           jnp.asarray(sigma0, jnp.float32),
+                           lp_mean, jnp.asarray(1.0, jnp.float32)])
+            return hist, s
+
+        if terminated is None:
+            hist, s = do_iter(hist)
+        else:
+            hist, s = jax.lax.cond(terminated, skip_iter, do_iter, hist)
 
         # termination metric: ESS/USS of the full updated history
         # reweighted to beta=1 (reference sampler.py:526-547)
@@ -395,10 +439,7 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
                                  jnp.asarray(1.0, hist.beta.dtype))
         m1 = _metric_of(w1, valid_flat, metric)
 
-        stats = jnp.stack([
-            res["accept"], res["steps"].astype(jnp.float32),
-            res["calls"].astype(jnp.float32), res["proposal_scale"],
-            m1, jnp.mean(res["logl"] + res["logp"])])
+        stats = jnp.stack([s[0], s[1], s[2], s[3], m1, s[4], s[5]])
         return hist, stats
 
     return jax.jit(mutate)
@@ -417,7 +458,9 @@ def make_fused_iteration(sweep, flow, n_active: int, n_effective: float,
                                      preconditioned=True)
 
     def iteration(hist: DeviceHistory, sigma0, flow_params, seed):
-        out = reweight_raw(hist, jnp.float32(n_effective))
+        # n_total=inf: the dry-run iteration never self-terminates
+        out = reweight_raw(hist, jnp.float32(n_effective),
+                           jnp.float32(jnp.inf))
         theta, _ = flow._forward(flow_params, out["u_sel"])
         geom = _fit_geometry_impl(theta, out["w_sel"], jax.random.key(seed))
         hist, stats = mutate_raw(hist, out["beta"], out["logz"],

@@ -113,8 +113,27 @@ class ParticleMesh:
             sharding, arr, global_shape=arr.shape)
 
     def shard_particles(self, arr):
-        """Place a particle-major array (first axis = particles) sharded."""
+        """Place a particle-major array (first axis = particles) sharded.
+        Row counts not divisible by the mesh size (e.g. pow2-padded
+        training sets on a non-pow2 mesh) fall back to replication —
+        always correct, just unsharded."""
+        if np.shape(arr)[0] % self.size != 0:
+            return self._put(arr, self.replicated, axis=None)
         return self._put(arr, self.particle_sharding, axis=0)
+
+    def shard_history(self, hist_tree):
+        """Place slot-major (T_max, n[, d]) history buffers with the
+        particle axis (axis 1) sharded and the per-slot scalars
+        replicated — the device-resident SMC loop's layout
+        (sampler._run_device_loop). Multi-host safe: every process holds
+        the identical full host copy and contributes its local rows."""
+        sh = NamedSharding(self.mesh, P(None, "particles"))
+        return jax.tree_util.tree_map(
+            lambda a: (self._put(np.asarray(a), sh, axis=1)
+                       if getattr(a, "ndim", 0) >= 2
+                       else self._put(np.asarray(a), self.replicated,
+                                      axis=None)),
+            hist_tree)
 
     def shard_batches(self, arr):
         """Place a (n_batches, batch, ...) training stack with the batch

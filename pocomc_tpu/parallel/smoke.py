@@ -18,7 +18,14 @@ Each worker runs, over the GLOBAL mesh:
   2. a black-box host likelihood through ParticleMesh.shard_callback —
      verifying each process's Python function sees ONLY local rows,
   3. the real adaptive t-pCN sweep program (mcmc.make_sweep) on sharded
-     particles, gathered and checksummed — every process must agree.
+     particles, gathered and checksummed — every process must agree,
+  4. a full end-to-end `Sampler.run()` with a traceable likelihood (the
+     device-resident SMC loop, history sharded over the global mesh),
+  5. a full `Sampler.run()` with a BLACK-BOX likelihood (host
+     orchestration; per-process likelihood fan-out via shard_callback —
+     the reference's `mpiexec -n N` user contract,
+     /root/reference/pocomc/parallel.py:20-178).
+All five checksums fold into one value that every process must match.
 
 `launch()` spawns the workers and validates their output; the pytest
 suite (tests/test_multihost.py) and __graft_entry__.dryrun_multichip's
@@ -108,8 +115,43 @@ def run_worker(process_id: int, num_processes: int, port: int,
     assert np.isfinite(u_new).all() and int(res["steps"]) >= 2
     checksum = float(np.sum(u_new.astype(np.float64)))
 
+    # 4. + 5. full Sampler.run() end-to-end over the global mesh
+    from pocomc_tpu import Sampler
+
+    d2 = 2
+    pr = Prior([Normal(0.0, 2.0) for _ in range(d2)])
+    n_active = 16 * mesh.size
+    tiny = dict(n_effective=2 * n_active, n_active=n_active,
+                flow="nsf3", train_config={"epochs": 5, "patience": 2},
+                random_state=11, mesh=mesh, vectorize=True)
+
+    def run_case(like, expect_device_loop):
+        s = Sampler(pr, like, **tiny)
+        assert s._use_device_loop() == expect_device_loop
+        s.run(n_total=2 * n_active, n_evidence=n_active, progress=False)
+        xs, w, _, _ = s.posterior()
+        return float(s.logz) + float(np.sum(xs * w[:, None]))
+
+    def like_traced(x):
+        return -0.5 * jnp.sum(x**2, axis=-1) - d2 * 0.919
+
+    run_seen: list[int] = []
+
+    def like_blackbox(x):
+        x = np.asarray(x)            # numpy body: not JAX-traceable
+        run_seen.append(x.shape[0])
+        return -0.5 * np.sum(x**2, axis=-1) - d2 * 0.919
+
+    cs_dev = run_case(like_traced, True)
+    cs_host = run_case(like_blackbox, False)
+    # the sweep fan-out hands each process only its local rows; warmup/
+    # evidence evaluate replicated full batches on every process
+    assert min(run_seen) <= n_active // num_processes, run_seen
+    checksum = checksum + cs_dev + cs_host
+
     print(f"MULTIHOST-OK rank={rank}/{count} devices={mesh.size} "
           f"local_batch_max={max(seen)} sweep_steps={int(res['steps'])} "
+          f"run_logz_dev={cs_dev:.4f} run_logz_host={cs_host:.4f} "
           f"checksum={checksum:.6f}", flush=True)
 
 

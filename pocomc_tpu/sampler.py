@@ -98,11 +98,19 @@ def callbacks_supported() -> bool:
 
 
 def make_logprior_device(prior, n: int):
-    """Device-usable log-prior: traced if possible, else pure_callback."""
-    if getattr(prior, "traceable", False):
-        return prior.logpdf
-    if _is_traceable(prior.logpdf, (n, prior.dim), (n,)):
-        return prior.logpdf
+    """Device-usable log-prior: traced if possible, else pure_callback.
+    Traced priors run at matmul precision 'float32' like the likelihood
+    (see mcmc.make_loglike_device for the bf16-default rationale)."""
+    if (getattr(prior, "traceable", False)
+            or _is_traceable(prior.logpdf, (n, prior.dim), (n,))):
+        logpdf = prior.logpdf
+
+        def traced(x):
+            with jax.default_matmul_precision("float32"):
+                return logpdf(x)
+
+        traced._pocomc_traced = True
+        return traced
 
     def host(x):
         return np.asarray(prior.logpdf(np.asarray(x)), dtype=np.float32).reshape(-1)
@@ -157,8 +165,9 @@ class Sampler:
                  n_steps: int = None,
                  n_max_steps: int = None,
                  plateau_z: float = 0.75,
+                 corr_threshold: float = 0.5,
                  resample: str = "mult",
-                 evidence_method: str = "is",
+                 evidence_method: str = "auto",
                  output_dir: str = None,
                  output_label: str = None,
                  random_state: int = None,
@@ -182,6 +191,13 @@ class Sampler:
 
         self.random_state = random_state
         seed = random_state if random_state is not None else int.from_bytes(os.urandom(4), "little")
+        if self.mesh is not None and self.mesh.multihost:
+            # replicated-host SPMD contract (parallel/mesh.py): every
+            # process must follow the identical host RNG stream, so an
+            # unseeded run takes process 0's entropy everywhere
+            from jax.experimental import multihost_utils
+            seed = int(multihost_utils.broadcast_one_to_all(
+                np.uint32(seed)))
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.key(seed)
 
@@ -217,6 +233,18 @@ class Sampler:
         # The default requires a 0.75-sigma real improvement. See
         # mcmc.py accept_update.
         self.plateau_z = float(plateau_z)
+        # Adaptive mutation budget (beyond reference): a sweep may stop
+        # only once the mean |per-dim correlation| between its start and
+        # current positions has fallen below this threshold — i.e. the
+        # resampled duplicates have measurably decorrelated. Easy targets
+        # decorrelate within the plateau window (no extra cost); curved
+        # geometries (funnels) automatically buy more steps, up to
+        # n_max_steps. 0 disables (pure plateau rule). See mcmc.py cond.
+        if not 0.0 <= float(corr_threshold) < 1.0:
+            raise ValueError(
+                f"Invalid corr_threshold {corr_threshold!r}: must be in "
+                f"[0, 1).")
+        self.corr_threshold = float(corr_threshold)
 
         self.n_total = None
         self.n_evidence = None
@@ -315,18 +343,23 @@ class Sampler:
             raise ValueError(f"Invalid resample {resample}. Options are 'mult' or 'syst'.")
         self.resample = resample
 
-        # Evidence estimator: plain flow-IS ("is", the reference's
-        # sampler.py:869-920) or Pareto-smoothed IS ("psis", ops/psis.py).
-        # The k-hat tail diagnostic is computed either way. (Optimal
-        # bridge sampling between the flow and the posterior history was
-        # built and MEASURED WORSE on every heavy-tail config — when the
-        # flow/posterior overlap is poor it degenerates with
-        # overconfident error bars; RESULTS.md "bridge-sampling
+        # Evidence estimator: "auto" (default) applies Pareto-smoothed IS
+        # (ops/psis.py) whenever the k-hat tail diagnostic exceeds 0.5 —
+        # the framework applies its own remediation instead of warning the
+        # user into doing it — and plain flow-IS (the reference's
+        # sampler.py:869-920) below. "is"/"psis" force one estimator.
+        # The k-hat diagnostic is computed either way, and k-hat > 0.7
+        # (smoothing can no longer rescue the tail) always warns.
+        # (Optimal bridge sampling between the flow and the posterior
+        # history was built and MEASURED WORSE on every heavy-tail
+        # config — when the flow/posterior overlap is poor it degenerates
+        # with overconfident error bars; RESULTS.md "bridge-sampling
         # postmortem" — and deleted per the parity-code-is-debt rule.)
-        if evidence_method not in ("is", "psis"):
+        if evidence_method not in ("auto", "is", "psis"):
             raise ValueError(f"Invalid evidence_method {evidence_method}. "
-                             f"Options are 'is' or 'psis'.")
+                             f"Options are 'auto', 'is' or 'psis'.")
         self.evidence_method = evidence_method
+        self.evidence_method_used = None
         self.evidence_khat = None
 
         if n_prior is None:
@@ -430,8 +463,7 @@ class Sampler:
         self._logprior_dev = logprior_dev
         # host-facing prior eval: one jitted call when traceable, instead
         # of per-distribution eager dispatches
-        prior_traceable = (getattr(self.prior, "traceable", False)
-                           or logprior_dev is self.prior.logpdf)
+        prior_traceable = getattr(logprior_dev, "_pocomc_traced", False)
         if self.sample in ("mala", "hmc") and not prior_traceable:
             raise ValueError(
                 f"sample={self.sample!r} differentiates through the prior "
@@ -439,7 +471,7 @@ class Sampler:
                 f"provide gradients. Use JAX-native distributions "
                 f"(pocomc_tpu.Normal, ...) or 'tpcn'/'rwm'.")
         if prior_traceable:
-            self._logprior_host = jax.jit(self.prior.logpdf)
+            self._logprior_host = jax.jit(logprior_dev)
         else:
             self._logprior_host = self.prior.logpdf
 
@@ -463,6 +495,19 @@ class Sampler:
                 "prior, no blobs, and a backend able to run the fused "
                 "sweep.")
 
+        # Live per-step sweep stats (reference mcmc.py:159-167): every
+        # fused sweep — including the device-resident loop's — emits its
+        # packed stats each step through a debug callback when the
+        # backend supports host callbacks (CPU and locally-attached TPU;
+        # the axon tunnel does not, and there the per-iteration batched
+        # sync remains the only tap). The sink is looked up at call
+        # time, so the shared programs stay shareable and the tap is a
+        # no-op whenever no sweep is being watched. Off under mesh
+        # sharding (SPMD callback delivery is per-device).
+        self._live_stats = (self._sweep_mode == "fused"
+                            and self.mesh is None
+                            and callbacks_supported())
+
         # Program store: the module-level shared entry when nothing
         # instance-bound is baked into the traces (traceable likelihood +
         # prior; scaler moments are arguments), else per-instance.
@@ -483,23 +528,13 @@ class Sampler:
         else:
             self._prog_cache = {}
 
-        # Live per-step sweep stats (reference mcmc.py:159-167): the host
-        # fused sweep emits its packed stats each step through a debug
-        # callback when the backend supports host callbacks. Off for the
-        # shared device-loop programs (the device loop batches its sync to
-        # one per iteration by design) and under mesh sharding (SPMD
-        # callback delivery is per-device).
-        self._live_stats = (not self._device_loop_ok
-                            and self._sweep_mode == "fused"
-                            and self.mesh is None
-                            and callbacks_supported())
-
         cache = self._prog_cache
         if "sweep_plain" not in cache:
             common = dict(scaler=self.scaler, log_prior=logprior_dev,
                           log_like=loglike_dev, n_dim=self.n_dim,
                           n_steps=self.n_steps, n_max=self.n_max_steps,
                           plateau_z=self.plateau_z,
+                          corr_threshold=self.corr_threshold,
                           live_stats=self._live_stats,
                           n_leapfrog=self.n_leapfrog)
             # imh needs the flow; its (unreachable — precondition is
@@ -516,8 +551,18 @@ class Sampler:
                 lambda x, scp: scaler.forward(x, params=scp))
             cache["scaler_inv"] = jax.jit(
                 lambda u, scp: scaler.inverse(u, params=scp))
-            cache["loglike_host"] = (jax.jit(self._like_batch_fn)
-                                     if like_traceable else None)
+            if like_traceable:
+                like_fn = self._like_batch_fn
+
+                def like_host(x):
+                    # f32 matmul precision, like every likelihood trace
+                    # (mcmc.make_loglike_device rationale)
+                    with jax.default_matmul_precision("float32"):
+                        return like_fn(x)
+
+                cache["loglike_host"] = jax.jit(like_host)
+            else:
+                cache["loglike_host"] = None
         self._sweep_plain = cache["sweep_plain"]
         self._sweep_precond = cache["sweep_precond"]
         self._scaler_forward = cache["scaler_fwd"]
@@ -552,12 +597,15 @@ class Sampler:
         sc = self.scaler
         like = self.log_likelihood
         return (
+            # live_stats is a static flag of the sweep trace and differs
+            # between mesh and non-mesh samplers
+            self._live_stats,
             id(like.f), tuple(map(self._data_key, like.args)),
             tuple(sorted((k, self._data_key(v))
                          for k, v in like.kwargs.items())),
             self.vectorize, id(self.prior),
             self.n_dim, self.n_active, self.n_steps, self.n_max_steps,
-            self.plateau_z,
+            self.plateau_z, self.corr_threshold,
             self.sample, self.n_leapfrog,
             self.preconditioned, self.metric, self.dynamic,
             float(self.dynamic_ratio), self.resample,
@@ -582,6 +630,15 @@ class Sampler:
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _fetch(self, a):
+        """Host numpy copy of a device array that may be sharded over a
+        multi-host mesh (non-addressable shards need a process
+        all-gather; replicated values convert directly)."""
+        if (self.mesh is not None and self.mesh.multihost
+                and not getattr(a, "is_fully_replicated", True)):
+            return self.mesh.gather(a)
+        return np.asarray(jax.device_get(a))
 
     def _trace(self, name):
         """Phase TraceAnnotation for jax.profiler timelines; a no-op
@@ -695,7 +752,27 @@ class Sampler:
                 self.warmup = False
 
             if self._use_device_loop():
-                self._run_device_loop(t0, save_every)
+                # Per-step live stats during the device loop's sweeps
+                # (reference mcmc.py:159-167): on callback-capable
+                # backends each sweep step emits through the process-
+                # global sink; `calls` shown = last synced total + the
+                # running count inside the current sweep (exact up to
+                # the pipeline lag).
+                if self._live_stats and self.progress:
+                    from .mcmc import set_live_sink
+                    pbar = self.pbar
+
+                    def _sink(i, cnt, sigma, accept, calls):
+                        pbar.update_stats(dict(
+                            steps=i, acc=round(accept, 3),
+                            calls=self.calls + calls))
+
+                    set_live_sink(_sink)
+                try:
+                    self._run_device_loop(t0, save_every)
+                finally:
+                    if self._live_stats and self.progress:
+                        set_live_sink(None)
             else:
                 while self._not_termination(self.current_particles):
                     if save_every is not None and (self.t - t0) % int(save_every) == 0 and self.t != t0:
@@ -739,12 +816,16 @@ class Sampler:
                 def wu(x, scp):
                     u = scaler.forward(x, params=scp)
                     _, logdetj = scaler.inverse(u, params=scp)
-                    return u, logdetj, log_prior(x), like(x)
+                    with jax.default_matmul_precision("float32"):
+                        logl = like(x)
+                    return u, logdetj, log_prior(x), logl
 
                 prog = self._prog_cache[("WU",)] = jax.jit(wu)
-            pre = [np.asarray(a, dtype=np.float64) for a in jax.device_get(
-                prog(jnp.asarray(self.prior_samples, dtype=jnp.float32),
-                     self._scp()))]
+            xs = np.asarray(self.prior_samples, dtype=np.float32)
+            xs = (self.mesh.shard_particles(xs) if self.mesh is not None
+                  else jnp.asarray(xs))
+            pre = [np.asarray(self._fetch(a), dtype=np.float64)
+                   for a in prog(xs, self._scp())]
 
         # resuming from a mid-warmup checkpoint: batches already stored in
         # the history must not be replayed (slots would duplicate and the
@@ -759,10 +840,15 @@ class Sampler:
                 u, logdetj, logp, logl = (a[sl].copy() for a in pre)
                 blobs = None
             else:
-                u = np.asarray(jax.device_get(self._scaler_forward(jnp.asarray(x, dtype=jnp.float32), self._scp())),
-                               dtype=np.float64)
-                _, logdetj_d = self._scaler_inverse(jnp.asarray(u, dtype=jnp.float32), self._scp())
-                logdetj = np.asarray(jax.device_get(logdetj_d), dtype=np.float64)
+                to_dev = (self.mesh.shard_particles
+                          if self.mesh is not None else jnp.asarray)
+                u = np.asarray(self._fetch(self._scaler_forward(
+                    to_dev(np.asarray(x, dtype=np.float32)), self._scp())),
+                    dtype=np.float64)
+                _, logdetj_d = self._scaler_inverse(
+                    to_dev(np.asarray(u, dtype=np.float32)), self._scp())
+                logdetj = np.asarray(self._fetch(logdetj_d),
+                                     dtype=np.float64)
                 logp = np.asarray(jax.device_get(jnp.asarray(self._logprior_host(jnp.asarray(x, dtype=jnp.float32)))), dtype=np.float64)
                 logl, blobs = self._log_like(x)
             self.calls += self.n_active
@@ -886,11 +972,9 @@ class Sampler:
             self.particles.get("logp"),
             self.particles.get("beta"), self.particles.get("logz"), t_max)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            shard2 = NamedSharding(self.mesh.mesh, P(None, "particles"))
-            hist = jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, shard2) if a.ndim >= 2 else a,
-                hist)
+            # multi-host safe placement (ParticleMesh._put): particle
+            # axis sharded, slot scalars replicated on every process
+            hist = self.mesh.shard_history(hist)
         self._hist_dev = hist
         self._slot_count = t_cur
         self._synced_slots = t_cur
@@ -898,6 +982,13 @@ class Sampler:
 
         if self.preconditioned and self._geom_dev is None:
             self._geom_dev = self._geom_from_host()
+        if self.mesh is not None:
+            # device-loop inputs must live on the global mesh (jit may
+            # not mix process-local and global arrays on multi-host)
+            if self.preconditioned:
+                self.flow.params = self.mesh.replicate(self.flow.params)
+            if self._geom_dev is not None:
+                self._geom_dev = self.mesh.replicate(self._geom_dev)
 
         # loop-entry state from the host history (f64)
         beta_h = float(self.particles.get("beta", index=-1))
@@ -935,9 +1026,20 @@ class Sampler:
             nonlocal beta_h, ess1_h, ess_h, terminated
             batch = pending[:k]
             del pending[:k]
-            stats = jax.device_get([(p["statsA"], p["statsC"])
-                                    for p in batch])
+            if self.mesh is not None and self.mesh.multihost:
+                stats = [(self._fetch(p["statsA"]), self._fetch(p["statsC"]))
+                         for p in batch]
+            else:
+                stats = jax.device_get([(p["statsA"], p["statsC"])
+                                        for p in batch])
             for p, (statsA, statsC) in zip(batch, stats):
+                if statsC[6] > 0.5:
+                    # device-side termination guard fired: the iteration
+                    # was a no-op (no sweep, no calls, no history slot) —
+                    # roll back its optimistic host-side accounting
+                    self.t -= 1
+                    self._slot_count -= 1
+                    continue
                 beta_h = float(statsA[0])
                 logz_h = float(statsA[1])
                 ess_h = float(statsA[2])
@@ -977,7 +1079,7 @@ class Sampler:
                     if terminated:
                         continue
 
-                if self._slot_count == t_max:
+                if self._slot_count >= t_max:
                     t_max *= 2
                     hist = fused.grow_history(hist, t_max)
 
@@ -993,7 +1095,8 @@ class Sampler:
                     or self.flow_untrained)
 
                 with self._trace("pocomc/reweight"):
-                    outA = progA(hist, jnp.float32(self.n_effective))
+                    outA = progA(hist, jnp.float32(self.n_effective),
+                                 jnp.float32(self.n_total))
                 if train_now:
                     with self._trace("pocomc/train"):
                         params, geom, _tstats = progB(
@@ -1009,7 +1112,8 @@ class Sampler:
                                          outA["w_sel"],
                                          jnp.float32(self.proposal_scale),
                                          self._geom_dev, flow_params,
-                                         self._seed32(), self._scp())
+                                         self._seed32(), self._scp(),
+                                         outA["terminated"])
                 self._hist_dev = hist
                 self._slot_count += 1
                 pending.append(dict(statsA=outA["stats"], statsC=statsC,
@@ -1036,9 +1140,17 @@ class Sampler:
             return
         k0, k1 = self._synced_slots, self._slot_count
         if k1 > k0:
-            u, x, logdetj, logl, logp = jax.device_get(
-                (hist.u[k0:k1], hist.x[k0:k1], hist.logdetj[k0:k1],
-                 hist.logl[k0:k1], hist.logp[k0:k1]))
+            if self.mesh is not None and self.mesh.multihost:
+                # non-addressable shards: all-gather the full buffers on
+                # every process, slice on host (ParticleMesh.gather)
+                u, x, logdetj, logl, logp = (
+                    self.mesh.gather(a)[k0:k1]
+                    for a in (hist.u, hist.x, hist.logdetj, hist.logl,
+                              hist.logp))
+            else:
+                u, x, logdetj, logl, logp = jax.device_get(
+                    (hist.u[k0:k1], hist.x[k0:k1], hist.logdetj[k0:k1],
+                     hist.logl[k0:k1], hist.logp[k0:k1]))
             stats = self._dev_iter_stats[-(k1 - k0):]
             last = None
             for i, st in enumerate(stats):
@@ -1158,7 +1270,8 @@ class Sampler:
                     self.pbar.update_stats(dict(
                         calls=self.calls + calls, acc=float(stats[3]),
                         steps=i))
-                if not sweep.should_continue(i, cnt, sigma):
+                if not sweep.should_continue(i, cnt, sigma,
+                                             corr=float(stats[4])):
                     break
             finite = np.asarray(finite)
             logl_p = np.full(n, -np.inf)
@@ -1212,16 +1325,21 @@ class Sampler:
                           verbose=cfg["verbose"],
                           seed=int(self._rng.integers(2**31 - 1)),
                           mesh=self.mesh)
-            theta, _ = self.flow.forward(jnp.asarray(u, dtype=jnp.float32))
-            self.theta_geometry.fit(theta, weights=jnp.asarray(w, dtype=jnp.float32),
+            to_dev = (self.mesh.shard_particles
+                      if self.mesh is not None else jnp.asarray)
+            theta, _ = self.flow.forward(to_dev(np.asarray(u, np.float32)))
+            self.theta_geometry.fit(theta,
+                                    weights=to_dev(np.asarray(w, np.float32)),
                                     key=self._next_key())
         elif not self.preconditioned:
             # reference fits u_geometry every non-training iteration even
             # when preconditioned (sampler.py:674), but the preconditioned
             # kernels only ever read theta_geometry — skipping the unused
             # Student-t EM saves a device program + sync per iteration
-            self.u_geometry.fit(jnp.asarray(u, dtype=jnp.float32),
-                                weights=jnp.asarray(w, dtype=jnp.float32),
+            to_dev = (self.mesh.shard_particles
+                      if self.mesh is not None else jnp.asarray)
+            self.u_geometry.fit(to_dev(np.asarray(u, np.float32)),
+                                weights=to_dev(np.asarray(w, np.float32)),
                                 key=self._next_key())
         return current_particles
 
@@ -1279,7 +1397,11 @@ class Sampler:
                     results = sweep(*args, scaler_params=self._scp())
                 # device_get blocks: all pending live-stat callbacks have
                 # fired before the sink is torn down
-                results = jax.device_get(results)
+                if self.mesh is not None and self.mesh.multihost:
+                    results = {k: self._fetch(v)
+                               for k, v in results.items()}
+                else:
+                    results = jax.device_get(results)
             finally:
                 if self._live_stats and self.progress:
                     set_live_sink(None)
@@ -1331,7 +1453,9 @@ class Sampler:
                 logp = log_prior(x_q)
                 finite = jnp.isfinite(logp)
                 x_safe = jnp.where(finite[:, None], x_q, 0.0)
-                logl = jnp.where(finite, like(x_safe), -jnp.inf)
+                with jax.default_matmul_precision("float32"):
+                    logl_q = like(x_safe)
+                logl = jnp.where(finite, logl_q, -jnp.inf)
                 # prior-rejected draws -> NaN (dropped from the average,
                 # reference sampler.py:897-901); -inf-LIKELIHOOD draws
                 # keep their -inf logw and stay in the denominator
@@ -1348,7 +1472,7 @@ class Sampler:
         diagnostic and an optional Pareto-smoothed estimator
         (ops/psis.py; Vehtari et al. 2024)."""
         if self._use_device_loop():
-            logw = np.asarray(jax.device_get(
+            logw = np.asarray(self._fetch(
                 self._evidence_program(n)(self.flow.params, self._seed32(),
                                           self._scp())), dtype=np.float64)
             # drop NaN (prior-rejected: reference parity, sampler.py:
@@ -1357,11 +1481,23 @@ class Sampler:
             # KEEP -inf-likelihood rows in the denominator
             logw = logw[~(np.isnan(logw) | np.isposinf(logw))]
         else:
-            u_q, logq = self.flow.sample(n, key=self._next_key())
+            if self.mesh is not None and hasattr(self.flow, "_sample"):
+                # multi-host: the flow params are global mesh arrays and
+                # jit may not mix them with a process-local key — drive
+                # the sampler from a replicated uint32 seed instead
+                prog = self._prog_cache.get(("EVS", n))
+                if prog is None:
+                    flow = self.flow
+                    prog = self._prog_cache[("EVS", n)] = jax.jit(
+                        lambda params, seed: flow._sample(
+                            params, jax.random.key(seed), n))
+                u_q, logq = prog(self.flow.params, self._seed32())
+            else:
+                u_q, logq = self.flow.sample(n, key=self._next_key())
             x_q, logdetj = self._scaler_inverse(u_q, self._scp())
-            x_q = np.asarray(jax.device_get(x_q), dtype=np.float64)
-            logdetj = np.asarray(jax.device_get(logdetj), dtype=np.float64)
-            logq = np.asarray(jax.device_get(logq), dtype=np.float64)
+            x_q = np.asarray(self._fetch(x_q), dtype=np.float64)
+            logdetj = np.asarray(self._fetch(logdetj), dtype=np.float64)
+            logq = np.asarray(self._fetch(logq), dtype=np.float64)
 
             logp = np.asarray(jax.device_get(jnp.asarray(self._logprior_host(
                 jnp.asarray(x_q, dtype=jnp.float32)))), dtype=np.float64)
@@ -1374,11 +1510,16 @@ class Sampler:
             # +inf overflow row would poison logz/k-hat; -inf rows stay
             logw = logw[~(np.isnan(logw) | np.isposinf(logw))]
 
-        # tail diagnostic is always computed; smoothing applies only under
-        # evidence_method="psis"
+        # tail diagnostic is always computed; "auto" self-applies the
+        # Pareto smoothing above k-hat 0.5 instead of warning the user
+        # into doing it
         logw_smooth, khat = psislw(logw)
         self.evidence_khat = float(khat)
-        logw_used = logw_smooth if self.evidence_method == "psis" else logw
+        method = self.evidence_method
+        if method == "auto":
+            method = "psis" if khat > 0.5 else "is"
+        self.evidence_method_used = method
+        logw_used = logw_smooth if method == "psis" else logw
 
         m = logw_used.max()
         n_w = len(logw_used)
@@ -1400,7 +1541,12 @@ class Sampler:
         return self.logz, self.logz_err
 
     @staticmethod
-    def _warn_evidence_quality(dlogz, khat=None, method="is"):
+    def _warn_evidence_quality(dlogz, khat=None, method="auto"):
+        """Warn on evidence-quality pathologies. `method` is the
+        CONFIGURED estimator: under 'auto' the moderate-tail regime
+        (0.5 < k-hat <= 0.7) is already remediated by Pareto smoothing,
+        so only the hard k-hat > 0.7 regime warns; an explicit
+        method='is' keeps the reference-style advisory warning."""
         import warnings
         if khat is not None and khat > 0.7:
             warnings.warn(
@@ -1484,7 +1630,7 @@ class Sampler:
                       # added later (loaders tolerate their absence in
                       # older state dicts)
                       "n_steps", "n_max_steps", "plateau_z", "n_leapfrog",
-                      "pipeline", "evidence_method")
+                      "pipeline", "evidence_method", "corr_threshold")
 
     def state_dict(self):
         """Picklable snapshot: history, flow params, scaler/geometry
@@ -1517,7 +1663,8 @@ class Sampler:
         # constructor's kernel while reporting the checkpoint's config
         # would be wrong in both directions.
         program_keys = ("sample", "preconditioned", "n_active", "n_steps",
-                        "n_max_steps", "plateau_z", "n_leapfrog")
+                        "n_max_steps", "plateau_z", "n_leapfrog",
+                        "corr_threshold")
         rebuild = any(k in state and state[k] != getattr(self, k)
                       for k in program_keys)
         for k in self._STATE_SCALARS:
@@ -1614,7 +1761,9 @@ class Sampler:
                               ("device_loop", "auto"), ("plateau_z", 0.75),
                               ("evidence_method", "is"),
                               ("evidence_khat", None),
-                              ("profile_dir", None)):
+                              ("evidence_method_used", None),
+                              ("profile_dir", None),
+                              ("corr_threshold", 0.5)):
             self.__dict__.setdefault(attr, default)
         self.pool = None
         self.distribute = map

@@ -1,0 +1,207 @@
+"""Adaptive mutation budget (corr_threshold) + device-side termination
+guard + evidence_method='auto' — the round-3 accuracy/efficiency layer.
+
+The decorrelation criterion is beyond-reference: the reference's plateau
+rule (mcmc.py:169-180) stops a sweep once the walker-mean energy stalls,
+which on curved geometries happens long before the resampled duplicates
+have decorrelated. corr_threshold requires the measured start-position
+correlation to fall below a target before the sweep may stop.
+"""
+
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pocomc_tpu as pc
+from pocomc_tpu.mcmc import make_sweep, make_loglike_device
+from pocomc_tpu.models.geometry import fit_geometry_jax
+from pocomc_tpu.prior import Prior, Normal
+from pocomc_tpu.scaler import Reparameterize
+
+N, D = 256, 3
+
+
+def _sweep_steps(corr_threshold, sigma0, n_steps=1, n_max=60):
+    """Steps taken by a plain tpcn sweep at fixed proposal scale regime."""
+    prior = Prior([Normal(0.0, 3.0) for _ in range(D)])
+    scaler = Reparameterize(D, bounds=prior.bounds)
+
+    def log_like(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    key = jax.random.key(0)
+    u = jax.random.normal(key, (N, D)) * 0.5
+    x, logdetj = scaler.inverse(u)
+    logl = log_like(x)
+    logp = prior.logpdf(x)
+    geom = fit_geometry_jax(u, weights=jnp.full((N,), 1.0 / N),
+                            key=jax.random.key(1))
+    sweep = make_sweep(scaler=scaler, log_prior=prior.logpdf,
+                       log_like=make_loglike_device(log_like, True, True),
+                       n_dim=D, n_steps=n_steps, n_max=n_max, kind="tpcn",
+                       preconditioned=False, plateau_z=0.75,
+                       corr_threshold=corr_threshold)
+    res = sweep(u, x, logdetj, logl, logp, jnp.float32(1.0),
+                jnp.float32(sigma0), geom, jax.random.key(3))
+    return int(res["steps"])
+
+
+def test_corr_criterion_extends_poorly_mixing_sweeps():
+    """With a tiny proposal scale the chain decorrelates slowly: the
+    plateau rule alone stops early, the decorrelation criterion keeps
+    the sweep going (here to the n_max cap region)."""
+    steps_plain = _sweep_steps(corr_threshold=0.0, sigma0=0.05)
+    steps_corr = _sweep_steps(corr_threshold=0.3, sigma0=0.05)
+    assert steps_corr > 2 * steps_plain
+
+
+def test_corr_criterion_cheap_when_mixing_is_fast():
+    """At a healthy proposal scale decorrelation happens within (or near)
+    the plateau window: the criterion must not inflate the budget."""
+    steps_plain = _sweep_steps(corr_threshold=0.0, sigma0=0.9, n_steps=3)
+    steps_corr = _sweep_steps(corr_threshold=0.5, sigma0=0.9, n_steps=3)
+    assert steps_corr <= steps_plain + 3
+
+
+def test_corr_threshold_validation():
+    prior = Prior([Normal(0, 5), Normal(0, 5)])
+    like = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+    with pytest.raises(ValueError, match="corr_threshold"):
+        pc.Sampler(prior, like, vectorize=True, corr_threshold=1.0)
+    with pytest.raises(ValueError, match="corr_threshold"):
+        pc.Sampler(prior, like, vectorize=True, corr_threshold=-0.1)
+    with pytest.raises(ValueError, match="evidence_method"):
+        pc.Sampler(prior, like, vectorize=True, evidence_method="bogus")
+
+
+def test_termination_guard_noops_after_termination():
+    """Craft a history whose termination criterion already holds: phase A
+    must report terminated and phase C must skip (no slot, no calls)."""
+    from pocomc_tpu.parallel import fused
+    from pocomc_tpu.models.geometry import _fit_geometry_impl
+
+    n, d, t_max = 64, 2, 4
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(2, n, d))
+    logl = np.full((2, n), -1.0) + rng.normal(size=(2, n)) * 1e-3
+    beta = np.array([0.0, 1.0])
+    logz = np.array([0.0, -1.0])
+    hist = fused.history_from_numpy(u, u, np.zeros((2, n)), logl,
+                                    np.zeros((2, n)), beta, logz, t_max)
+
+    progA = fused.make_reweight_program(n, n)
+    outA = progA(hist, jnp.float32(n // 2), jnp.float32(4.0))
+    assert bool(outA["terminated"])
+    # not terminated when n_total is out of reach
+    outA2 = progA(hist, jnp.float32(n // 2), jnp.float32(1e9))
+    assert not bool(outA2["terminated"])
+
+    prior = Prior([Normal(0.0, 3.0) for _ in range(d)])
+    scaler = Reparameterize(d, bounds=prior.bounds)
+    sweep = make_sweep(scaler=scaler, log_prior=prior.logpdf,
+                       log_like=make_loglike_device(
+                           lambda x: -0.5 * jnp.sum(x**2, -1), True, True),
+                       n_dim=d, n_steps=2, n_max=4, kind="tpcn",
+                       preconditioned=False)
+    progC = fused.make_mutate_program(sweep.raw, n, preconditioned=False)
+    geom = _fit_geometry_impl(jnp.asarray(u[0], jnp.float32),
+                              jnp.full((n,), 1.0 / n), jax.random.key(0))
+    args = (outA["beta"], outA["logz"], outA["w_flat"], outA["u_sel"],
+            outA["w_sel"], jnp.float32(0.5), geom, None, np.uint32(7), None)
+
+    hist_skip, stats_skip = progC(hist, *args, outA["terminated"])
+    assert int(hist_skip.t) == int(hist.t)          # no slot written
+    assert float(stats_skip[2]) == 0.0               # no likelihood calls
+    assert float(stats_skip[6]) == 1.0               # noop flag
+
+    hist_run, stats_run = progC(hist, *args, outA2["terminated"])
+    assert int(hist_run.t) == int(hist.t) + 1
+    assert float(stats_run[2]) > 0
+    assert float(stats_run[6]) == 0.0
+
+
+def test_device_loop_slot_accounting_with_pipeline():
+    """Full device-loop run at pipeline depth 3: the no-op guard must
+    keep host iteration/slot accounting consistent (t == stored slots)
+    and calls must exclude skipped iterations."""
+    prior = Prior([Normal(0, 5), Normal(0, 5)])
+
+    def like(x):
+        return -0.5 * jnp.sum(x**2, axis=-1) - jnp.log(2 * jnp.pi)
+
+    s = pc.Sampler(prior, like, vectorize=True, random_state=0,
+                   n_effective=256, n_active=128, precondition=True,
+                   flow="nsf3", train_config={"epochs": 20, "patience": 3},
+                   pipeline=3)
+    s.run(n_total=512, n_evidence=256, progress=False)
+    assert s._use_device_loop()
+    assert s.t == s.particles.t
+    # every stored iteration carries stats rows synced 1:1
+    assert len(s._dev_iter_stats) == s.particles.t - s.n_prior // s.n_active
+    from scipy.stats import norm
+    assert abs(s.logz - 2 * norm.logpdf(0, 0, np.sqrt(26))) < 0.5
+
+
+def test_warn_evidence_quality_auto_silences_moderate_tail():
+    from pocomc_tpu.sampler import Sampler
+    # auto + moderate tail: remediated by smoothing, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        Sampler._warn_evidence_quality(0.1, khat=0.6, method="auto")
+    # explicit 'is' keeps the advisory warning
+    with pytest.warns(RuntimeWarning, match="heavy-tailed"):
+        Sampler._warn_evidence_quality(0.1, khat=0.6, method="is")
+    # hard tail always warns
+    with pytest.warns(RuntimeWarning, match="k-hat"):
+        Sampler._warn_evidence_quality(0.1, khat=0.8, method="auto")
+
+
+def test_evidence_auto_records_method_used():
+    prior = Prior([Normal(0, 5), Normal(0, 5)])
+
+    def like(x):
+        return -0.5 * jnp.sum(x**2, axis=-1) - jnp.log(2 * jnp.pi)
+
+    s = pc.Sampler(prior, like, vectorize=True, random_state=1,
+                   n_effective=256, n_active=128, flow="nsf3",
+                   train_config={"epochs": 20, "patience": 3})
+    s.run(n_total=512, n_evidence=512, progress=False)
+    assert s.evidence_method == "auto"
+    assert s.evidence_method_used in ("is", "psis")
+    expected = "psis" if s.evidence_khat > 0.5 else "is"
+    assert s.evidence_method_used == expected
+
+
+def test_device_loop_live_stats(monkeypatch):
+    """The device loop's fused sweeps emit per-step stats through the
+    live sink on callback-capable backends (reference mcmc.py:159-167
+    shows calls/acc/steps during every sweep)."""
+    from pocomc_tpu.utils.tools import ProgressBar
+
+    per_step = []
+    orig = ProgressBar.update_stats
+
+    def spy(self, info):
+        if set(info) == {"steps", "acc", "calls"}:
+            per_step.append(dict(info))
+        return orig(self, info)
+
+    monkeypatch.setattr(ProgressBar, "update_stats", spy)
+
+    prior = Prior([Normal(0, 5), Normal(0, 5)])
+
+    def like(x):
+        return -0.5 * jnp.sum(x**2, axis=-1) - jnp.log(2 * jnp.pi)
+
+    s = pc.Sampler(prior, like, vectorize=True, random_state=0,
+                   n_effective=256, n_active=128, flow="nsf3",
+                   train_config={"epochs": 10, "patience": 3})
+    assert s._use_device_loop() and s._live_stats
+    s.run(n_total=512, n_evidence=0, progress=True)
+    # more per-step emissions than iterations: sweeps run multiple steps
+    n_iters = s.particles.t - s.n_prior // s.n_active
+    assert len(per_step) > n_iters
+    assert all(p["steps"] >= 1 for p in per_step)
