@@ -1,2 +1,2 @@
-version = "0.2.0"
+version = "0.3.0"
 __version__ = version
