@@ -121,7 +121,15 @@ def funnel25(**kw):
                 - ((d - 1) / 2) * (v + jnp.log(2 * jnp.pi)))
     prior = pc.Prior([pc.Normal(0, sv)]
                      + [pc.Uniform(-half, half) for _ in range(d - 1)])
-    expect = (d - 1) * np.log(1.0 / (2 * half))
+    # exact truth includes the N(0, e^v) mass outside the Uniform box at
+    # large v (1-D quadrature; -0.028 nats at these widths)
+    from scipy import integrate
+    def _f(v):
+        p = norm.cdf(half, scale=np.exp(v / 2)) \
+            - norm.cdf(-half, scale=np.exp(v / 2))
+        return norm.pdf(v, scale=sv) * p ** (d - 1)
+    expect = (d - 1) * np.log(1.0 / (2 * half)) \
+        + np.log(integrate.quad(_f, -60, 60, limit=400)[0])
     run("funnel25", prior, loglike, expect,
         n_effective=2048, n_active=1024, **kw)
 
@@ -154,13 +162,16 @@ if __name__ == "__main__":
     for a in sys.argv[1:]:
         if "=" in a:
             k, v = a.split("=", 1)
-            try:
-                kw[k] = int(v)
-            except ValueError:
+            if v in ("True", "true", "False", "false"):
+                kw[k] = v in ("True", "true")
+            else:
                 try:
-                    kw[k] = float(v)
+                    kw[k] = int(v)
                 except ValueError:
-                    kw[k] = v
+                    try:
+                        kw[k] = float(v)
+                    except ValueError:
+                        kw[k] = v
         else:
             names.append(a)
     for n in (names or list(ALL)):

@@ -1,22 +1,27 @@
 """SMC persistent-sampling evidence accuracy at 50-D (round-3 item).
 
 Round 2 measured the gauss50 SMC evidence (n_evidence=0 fallback) at
-+2.1 nats and attributed it to the f32 on-device logl history. Round-3
-diagnosis: f32 *storage* noise is ~1e-5 nats — the real mechanism is the
-likelihood einsum running at the TPU default (bf16-input) matmul
-precision, whose O(|logl|*4e-3) noise inflates every logsumexp in the
-persistent-sampling logz ladder by ~sigma^2/2 nats and compounds across
-iterations. The engine now traces all user likelihood/prior calls under
-matmul precision 'float32' (mcmc.make_loglike_device).
++2.1 nats and attributed it to the f32 on-device logl history; round 3
+first re-attributed it to bf16-default likelihood noise. BOTH were
+wrong: with trace-time f32 precision the stored logl noise is 6e-4 and
+the error is unchanged (+2.36). The measured mechanism (RESULTS.md
+round 3, "MIS ladder forensics") is the SELF-REFERENTIAL logz ladder:
+each logz_t is a balance-heuristic estimate whose denominator reuses
+the same logl samples that logz_1..t-1 were estimated from, giving a
+positive feedback loop (a too-high logz_i shrinks the denominator b_i,
+raising every later logz). With exact iid stage samples the drift is
++0.17 over 140 stages; correlated real-run histories amplify it.
 
-This script measures, on the north-star gauss50 config:
+This script measures, on the north-star gauss50 config (tempered logz
+is CLOSED-FORM here, so every rung of the ladder can be checked):
   1. flow-IS logZ error (headline estimator),
   2. SMC evidence error from the stored history (the fallback),
-  3. the same with the logl history re-evaluated on host in f64 and the
-     logz ladder recomputed self-consistently — isolating any residual
-     device-precision contribution.
+  3. ladder-vs-analytic drift per rung, and candidate fixes evaluated
+     offline from the saved history: incremental (pairwise) ladder and
+     split-half (ladder from one half, evaluation on the other).
 
 Run: python benchmarks/smc_evidence_gauss50.py [corr_threshold]
+Saves the history to .round3/gauss50_hist.npz for offline iteration.
 """
 import sys, time
 import numpy as np
@@ -26,7 +31,7 @@ import pocomc_tpu as pc
 from pocomc_tpu.ops.weights import compute_logw_and_logz
 
 
-def recompute_smc_logz(logl, beta):
+def self_consistent_ladder(logl, beta):
     """Self-consistent persistent-sampling logz ladder in f64 from raw
     (T, n) logl and (T,) beta (mirrors the run's phase-A recursion,
     including the carry rule when beta stalls)."""
@@ -38,8 +43,50 @@ def recompute_smc_logz(logl, beta):
         else:
             _, logz[i] = compute_logw_and_logz(
                 logl[:i], beta[:i], logz[:i], float(beta[i]))
-    _, final = compute_logw_and_logz(logl, beta, logz, 1.0)
-    return final
+    return logz
+
+
+def incremental_ladder(logl, beta):
+    """Pairwise-increment ladder: logz_t = logz_{t-1} +
+    log mean exp((b_t - b_{t-1}) * logl_{t-1,row}). No self-reference,
+    so no feedback loop; per-rung Jensen bias is downward and does not
+    compound multiplicatively."""
+    T = len(beta)
+    logz = np.zeros(T)
+    for t in range(1, T):
+        db = beta[t] - beta[t - 1]
+        lw = db * logl[t - 1]
+        m = lw.max()
+        logz[t] = logz[t - 1] + m + np.log(np.mean(np.exp(lw - m)))
+    return logz
+
+
+def final_mis(logl, beta, ladder, beta_final=1.0):
+    _, z = compute_logw_and_logz(logl, beta, ladder, beta_final)
+    return z
+
+
+def analyze(logl, beta, logz_stored, expect, oracle=None):
+    """Offline ladder forensics + candidate-fix evaluation."""
+    T, n = logl.shape
+    sc = self_consistent_ladder(logl, beta)
+    inc = incremental_ladder(logl, beta)
+    # split-half: ladder from even particles, final MIS on odd particles
+    h = n // 2
+    sc_a = self_consistent_ladder(logl[:, :h], beta)
+    rows = [("stored ladder", final_mis(logl, beta, logz_stored)),
+            ("self-consistent", final_mis(logl, beta, sc)),
+            ("incremental", final_mis(logl, beta, inc)),
+            ("split-half", final_mis(logl[:, h:], beta, sc_a))]
+    if oracle is not None:
+        rows.append(("oracle ladder", final_mis(logl, beta, oracle)))
+        ix = [1, T // 2, -1]
+        print("ladder drift (est - analytic) at t=1/mid/end:")
+        print(f"  stored      {np.round(logz_stored - oracle, 3)[ix]}")
+        print(f"  incremental {np.round(inc - oracle, 3)[ix]}")
+        print(f"  split-half  {np.round(sc_a - oracle, 3)[ix]}")
+    for name, z in rows:
+        print(f"SMC [{name:>15s}] {z:.3f}  err {z - expect:+.3f}")
 
 
 def main(corr_threshold=0.5):
@@ -85,8 +132,37 @@ def main(corr_threshold=0.5):
     stored = s.particles.get("logl")
     print(f"stored-vs-f64 logl noise: std {np.std(stored - logl64):.3g}  "
           f"max {np.max(np.abs(stored - logl64)):.3g}")
-    smc64 = recompute_smc_logz(logl64, beta)
-    print(f"SMC (f64 ladder)  {smc64:.3f}  err {smc64 - expect:+.3f}")
+
+    # analytic tempered logz(b) = log int prior * L^b (closed form)
+    def logz_b(b):
+        prec = np.eye(d) / ps**2 + b * cov_inv
+        _, ld = np.linalg.slogdet(prec)
+        return b * nc - 0.5 * ld - d * np.log(ps)
+
+    oracle = np.array([logz_b(b) for b in beta])
+    logz_stored = s.particles.get("logz").astype(np.float64)
+
+    # stage-population hotness: mean logl vs the analytic tempered
+    # expectation E[logl|b] = nc - tr(Cinv S_b)/2, in population-mean SEs
+    # (the round-3 root cause: resampling selects hot particles and
+    # under-decorrelated sweeps keep them; see RESULTS.md)
+    zs = []
+    for t in range(T):
+        S_b = np.linalg.inv(np.eye(d) / ps**2 + beta[t] * cov_inv)
+        M = cov_inv @ S_b
+        E = nc - 0.5 * np.trace(M)
+        se = np.sqrt(0.5 * np.trace(M @ M) / n)
+        zs.append((logl64[t].mean() - E) / se)
+    zs = np.asarray(zs)
+    print(f"stage hotness z=(mean-E)/SE: mean {zs.mean():+.1f}  "
+          f"max {zs.max():+.1f}  (z at t=5/25/50: "
+          f"{zs[min(5, T-1)]:+.1f}/{zs[min(25, T-1)]:+.1f}/"
+          f"{zs[min(50, T-1)]:+.1f})")
+    import os
+    os.makedirs(".round3", exist_ok=True)
+    np.savez(".round3/gauss50_hist.npz", logl=logl64, beta=beta,
+             logz=logz_stored, oracle=oracle, expect=expect)
+    analyze(logl64, beta, logz_stored, expect, oracle)
 
 
 if __name__ == "__main__":

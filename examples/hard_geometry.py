@@ -37,8 +37,21 @@ def log_likelihood(x):
 
 prior = pc.Prior([pc.Normal(0.0, 3.0)]
                  + [pc.Uniform(-half, half) for _ in range(d - 1)])
-# analytic evidence: each y_i integrates to 1/(2*half) over its uniform
-expect = (d - 1) * np.log(1.0 / (2 * half))
+# analytic evidence by 1-D quadrature over v: each y_i contributes
+# P(|y| < half | v) / (2*half), and at large v a non-negligible part of
+# the N(0, e^v) mass falls outside the Uniform(-half, half) support
+from scipy import integrate
+from scipy.stats import norm
+
+
+def _integrand(v):
+    p_in = norm.cdf(half, scale=np.exp(v / 2)) \
+        - norm.cdf(-half, scale=np.exp(v / 2))
+    return norm.pdf(v, scale=3.0) * p_in ** (d - 1)
+
+
+expect = (d - 1) * np.log(1.0 / (2 * half)) \
+    + np.log(integrate.quad(_integrand, -40, 40, limit=200)[0])
 
 sampler = pc.Sampler(prior, log_likelihood, vectorize=True,
                      n_effective=1024, n_active=512, random_state=0)

@@ -50,9 +50,18 @@ class SweepState(NamedTuple):
     logp2: jnp.ndarray          # best plateau metric so far
     calls: jnp.ndarray          # likelihood call counter
     accept: jnp.ndarray         # mean acceptance of last step
-    v0: jnp.ndarray             # sweep-start positions (decorrelation probe)
-    corr: jnp.ndarray           # mean |per-dim corr(v0, v_now)| across dims
+    v0: jnp.ndarray             # sweep-start u positions (decorrelation probe)
+    corr: jnp.ndarray           # max |per-dim corr(v0, u_now)| across dims
+    mwin: jnp.ndarray           # (DRIFT_W,) ring of recent plateau metrics
+    drift: jnp.ndarray          # 1.0 while the windowed metric trend is
+                                # statistically significant (see drift_z)
     key: jnp.ndarray
+
+
+# Window length for the drift criterion: long enough that the two
+# half-window means average out per-step noise, short enough to engage
+# right past the typical easy-target plateau exit (~6 steps).
+DRIFT_W = 6
 
 
 # --- live per-step sweep statistics tap ---------------------------------
@@ -93,10 +102,10 @@ def make_loglike_device(fn, vectorize: bool, traceable: bool, dtype=jnp.float32)
     f32 precision; RESULTS.md round 3). Likelihood matmuls are a tiny
     fraction of sweep compute, so the extra MXU passes are noise."""
     if traceable:
+        fn32 = f32_precision(fn)
+
         def loglike(x, mask):
-            with jax.default_matmul_precision("float32"):
-                logl = fn(x)
-            return jnp.where(mask, logl.astype(dtype), -jnp.inf)
+            return jnp.where(mask, fn32(x).astype(dtype), -jnp.inf)
         return loglike
 
     def host_eval(x, mask):
@@ -118,6 +127,17 @@ def make_loglike_device(fn, vectorize: bool, traceable: bool, dtype=jnp.float32)
     return loglike
 
 
+def f32_precision(fn):
+    """Wrap a traced callable so its body runs under matmul precision
+    'float32' — the one-line enforcement point for the bf16-default
+    hazard documented in make_loglike_device. Use this for EVERY path
+    that traces user likelihood/prior code into a program."""
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 def _student_quadform(diff, inv_cov):
     """Batched Mahalanobis quadratic form diag(diff @ inv_cov @ diff.T)."""
     return jnp.einsum("nd,de,ne->n", diff, inv_cov, diff)
@@ -136,6 +156,7 @@ def make_sweep(
     flow_inv: Callable | None = None,   # (params, theta) -> (u, log|det du/dtheta|)
     plateau_z: float = 0.0,
     corr_threshold: float = 0.0,        # decorrelation target; 0 disables
+    drift_z: float = 0.0,               # windowed-trend z-gate; 0 disables
     live_stats: bool = False,           # per-step tap via jax.debug.callback
     n_leapfrog: int = 5,                # hmc only: leapfrog steps/proposal
 ):
@@ -155,23 +176,53 @@ def make_sweep(
             "requires preconditioning (precondition=True).")
 
     sqrt_d_scale = 2.38 / math.sqrt(n_dim)
-    sigma_cap = min(sqrt_d_scale, 0.99)
+    # t-pCN proposal scale cap, adapted per step from a measured
+    # geometry-fit statistic (see `_tpcn_cap` in accept_update). The
+    # reference caps at 2.38/sqrt(d) always (reference mcmc.py:152) — an
+    # RWM optimal-scaling heuristic that defeats pCN's point: at
+    # sigma -> 1 the autoregressive proposal sqrt(1-s^2)*(v-mu) + s*step
+    # becomes an INDEPENDENT draw from the fitted t-geometry, so a
+    # well-preconditioned population decorrelates in O(1) accepted steps
+    # instead of O(1/sigma^2). Measured (RESULTS.md round 3
+    # "stage-population hotness"): with the 2.38/sqrt(50)=0.336 cap the
+    # gauss50 latent per-step correlation floor is sqrt(1-sigma^2)=0.94,
+    # stage populations stay +2..+7.5 SE hot after full sweeps, and the
+    # SMC logz ladder inherits +2.4 nats. But freeing the cap
+    # UNCONDITIONALLY is wrong in the other direction (measured: funnel25
+    # logZ err -2.2 -> -2.6): when the fitted geometry misses a region
+    # (the funnel neck), near-independent proposals never land there, the
+    # particles already in it freeze (global jumps out are rejected), and
+    # population-mean acceptance — dominated by the well-fitted bulk —
+    # never self-limits sigma. Only small-sigma LOCAL moves mutate
+    # regions the fit misses, which is what the reference's cap
+    # accidentally guarantees. Hence the per-step interpolation between
+    # the two caps, driven by std(log pi_v - log t_geom) over the live
+    # population — a direct measure of whether independence-style
+    # proposals are trustworthy.
+    sigma_cap = 0.99
 
     def _batch_corr(v0, v):
-        """Mean |per-dim Pearson correlation| between the sweep-start and
+        """MAX |per-dim Pearson correlation| between the sweep-start and
         current positions: the particle-diversity probe behind the
         adaptive mutation budget (see `cond`). After resampling the
         population is duplicate-heavy; the sweep's job is to restore
         diversity, and this statistic measures directly how much memory
-        of the start positions remains. Pearson normalizes per dimension,
-        so no whitening is needed. Computed in the sampling space (flow
-        latents when preconditioned), one cheap reduction per step."""
+        of the start positions remains. Two measured-on-the-funnel design
+        points (RESULTS.md round 3): the aggregation is max, not mean —
+        a funnel has ONE pathological dimension out of d, and a mean
+        dilutes it 1:(d-1) so the criterion never fires; and the probe
+        runs in u space, not the flow latent space — a misfit flow
+        (exactly the failure mode this budget exists to rescue) makes
+        theta-space decorrelation look finished while the physical
+        coordinates still remember their start. Pearson normalizes per
+        dimension, so no whitening is needed; one cheap reduction per
+        step."""
         v0c = v0 - jnp.mean(v0, axis=0)
         vc = v - jnp.mean(v, axis=0)
         num = jnp.mean(v0c * vc, axis=0)
         den = jnp.sqrt(jnp.mean(v0c * v0c, axis=0)
                        * jnp.mean(vc * vc, axis=0))
-        return jnp.mean(jnp.abs(num) / jnp.maximum(den, 1e-12))
+        return jnp.max(jnp.abs(num) / jnp.maximum(den, 1e-12))
     # Gradient kernels (beyond-reference, TPU-native: autodiff through
     # the composed flow/scaler/likelihood program); acceptance optima
     # 0.574 (MALA, Roberts & Rosenthal 1998) / 0.651 (HMC, Beskos et al.
@@ -370,9 +421,9 @@ def make_sweep(
     def accept_update(st: SweepState, prop, logl_p, beta, geom) -> tuple:
         """Metropolis accept + diminishing adaptation + plateau counters.
         Returns (new_state, accept_mask, packed_stats) where packed_stats
-        = [i, cnt, sigma, mean_alpha] as one f32 vector so the stepped
-        host driver syncs ONE transfer per step instead of four scalar
-        pulls (each a full round trip on a high-latency link)."""
+        = [i, cnt, sigma, mean_alpha, corr] as one f32 vector so the
+        stepped host driver syncs ONE transfer per step instead of five
+        scalar pulls (each a full round trip on a high-latency link)."""
         nu = geom.get("t_nu")
         n = st.u.shape[0]
         i1 = (st.i + 1).astype(st.sigma.dtype)
@@ -390,6 +441,31 @@ def make_sweep(
             A = -half * jnp.log1p(prop["qp"] / nu)
             B = -half * jnp.log1p(prop["q"] / nu)
             log_ratio = log_ratio - A + B
+            # Geometry-fit statistic for the adaptive sigma cap (see the
+            # sigma_cap comment above): std over the live population of
+            # log pi_v - log t_geom, both at the CURRENT positions (B is
+            # log t_geom up to a constant, which std drops). 0 for a
+            # perfect fit; O(1) nats once the t-geometry misses real
+            # structure. Masked moments: a -inf row (infeasible particle
+            # still in the population) must not poison the std.
+            logpi_v = beta * st.logl + st.logp + st.logdetj
+            if preconditioned:
+                logpi_v = logpi_v + st.logdetj_flow
+            mis_vals = logpi_v - B
+            mis_ok = jnp.isfinite(mis_vals)
+            mis_n = jnp.maximum(jnp.sum(mis_ok), 1)
+            mis_mean = jnp.sum(jnp.where(mis_ok, mis_vals, 0.0)) / mis_n
+            misfit = jnp.sqrt(jnp.sum(jnp.where(
+                mis_ok, (mis_vals - mis_mean) ** 2, 0.0)) / mis_n)
+            # cap interpolation: well-fit (misfit -> 0) frees sigma to
+            # sigma_cap; misfit >~ 2 nats collapses it to the reference's
+            # local-move scale. exp(-misfit^2/2) crosses 0.6 at 1 nat.
+            # The local end clamps to sigma_cap too: at d < 6,
+            # 2.38/sqrt(d) > 1 and an uncapped end puts sigma past the
+            # sqrt(1-sigma^2) domain edge (NaN proposals).
+            _loc = min(sqrt_d_scale, sigma_cap)
+            _tpcn_cap = _loc + (sigma_cap - _loc) \
+                * jnp.exp(-0.5 * misfit ** 2)
         elif kind in ("mala", "hmc", "imh"):
             log_ratio = log_ratio + prop["corr"]
 
@@ -410,9 +486,11 @@ def make_sweep(
 
         alpha_mean = jnp.mean(alpha)
         if kind == "tpcn":
-            # diminishing adaptation, capped (reference mcmc.py:152)
+            # diminishing adaptation, misfit-adaptive cap (vs the
+            # reference's fixed 2.38/sqrt(d), mcmc.py:152)
             sigma = jnp.abs(jnp.minimum(
-                st.sigma + (alpha_mean - accept_target) / i1**0.75, sigma_cap))
+                st.sigma + (alpha_mean - accept_target) / i1**0.75,
+                _tpcn_cap))
             if preconditioned:
                 mu = st.mu + (jnp.mean(theta, axis=0) - st.mu) / i1
             else:
@@ -455,16 +533,47 @@ def make_sweep(
         logp2 = jnp.maximum(st.logp2, metric)
 
         if corr_threshold > 0.0:
-            corr = _batch_corr(st.v0, theta if preconditioned else u)
+            corr = _batch_corr(st.v0, u)
         else:
             corr = st.corr
 
+        # Windowed drift test (drift_z > 0): a funnel-type geometry keeps
+        # the walker population RELAXING toward the tempered measure for
+        # tens of steps, but the per-step metric change is below
+        # plateau_z significance, so the plateau rule writes the sweep
+        # off as converged (measured: funnel25 logZ err -2.2 at the
+        # plateau default vs -0.99 under the reference any-improvement
+        # rule). Aggregating the trend over a DRIFT_W-step window
+        # recovers the significance of slow steady drift: continue while
+        # the half-window means differ by drift_z * SE. TWO-SIDED on
+        # purpose: a resampled population is selected-hot, and
+        # equilibration (mass spreading into a funnel neck) DECREASES
+        # mean logl+logp — an upward-only test, like the reference's
+        # record rule, is structurally blind to the direction hard
+        # geometries actually drift. At stationarity the half-window
+        # difference is ~sem*sqrt(4/W) noise either way and the test
+        # goes quiet, so easy targets never pay for it.
+        if drift_z > 0.0:
+            mwin = jnp.concatenate([st.mwin[1:], metric[None]])
+            sem = jnp.std(vals) / jnp.sqrt(1.0 * n)
+            half = DRIFT_W // 2
+            dval = jnp.mean(mwin[half:]) - jnp.mean(mwin[:half])
+            se = sem * jnp.sqrt(4.0 / DRIFT_W)
+            # Neutral (0) until the ring is full: the plateau rule alone
+            # governs the first W steps, so easy targets that exit early
+            # are never forced to W.
+            drift = ((st.i + 1 >= DRIFT_W)
+                     & (jnp.abs(dval) > drift_z * se)).astype(sigma.dtype)
+        else:
+            mwin, drift = st.mwin, st.drift
+
         new_st = SweepState(u, x, logdetj, logl, logp, theta, ldjf,
                             sigma, mu, grad, st.i + 1, cnt, logp2, calls,
-                            alpha_mean, st.v0, corr, prop["key"])
+                            alpha_mean, st.v0, corr, mwin, drift,
+                            prop["key"])
         stats = jnp.stack([new_st.i.astype(sigma.dtype),
                            cnt.astype(sigma.dtype), sigma, alpha_mean,
-                           corr.astype(sigma.dtype)])
+                           corr.astype(sigma.dtype), drift])
         return new_st, accept, stats
 
     def cond(st: SweepState) -> jnp.ndarray:
@@ -476,7 +585,13 @@ def make_sweep(
             ratio = sqrt_d_scale / st.sigma
             if kind == "rwm" and preconditioned:
                 ratio = jnp.minimum(1.0, ratio)
-            thresh = n_steps * ratio**2
+            # With the tpcn cap freed above 2.38/sqrt(d), ratio < 1
+            # SHRINKS the plateau window below n_steps — correct (near-
+            # independent proposals equilibrate in O(1) steps) but floored
+            # at 5 so the consecutive-non-improvement count keeps enough
+            # samples to be a statistic at all.
+            thresh = jnp.maximum(n_steps * ratio**2, jnp.minimum(
+                jnp.asarray(n_steps, st.sigma.dtype), 5.0))
         keep = st.cnt < thresh
         if corr_threshold > 0.0:
             # Adaptive mutation budget: the plateau rule alone stops the
@@ -490,11 +605,33 @@ def make_sweep(
             # corr_threshold keeps easy targets at the plateau-rule call
             # count (they decorrelate within the plateau window) while
             # hard geometries automatically buy more steps, up to n_max.
-            keep = keep | (st.corr > corr_threshold)
+            # The threshold TIGHTENS as sigma frees past the local-move
+            # scale (same ratio as the plateau-window stretch): at high
+            # sigma each accepted move is a near-independent draw, so the
+            # residual memory is mostly the NEVER-MOVED fraction — exact
+            # duplicates of resampled hot particles, which the SMC logz
+            # ladder compounds across stages (measured, gauss50: freeing
+            # sigma WITHOUT tightening the target left a ~25% stuck atom
+            # per stage and pushed the SMC evidence from +2.4 to +5.8
+            # nats; see RESULTS.md round 3). Decorrelation steps are
+            # exactly as cheap as sigma is high, so demanding more of
+            # them where sigma is high costs little and buys iid-quality
+            # stage populations.
+            if kind == "tpcn":
+                thr_eff = corr_threshold * jnp.minimum(
+                    1.0, sqrt_d_scale / st.sigma)
+            else:
+                thr_eff = corr_threshold
+            keep = keep | (st.corr > thr_eff)
+        if drift_z > 0.0:
+            # windowed drift test (see accept_update): slow steady
+            # expansion that plateau significance misses keeps the sweep
+            # alive until the trend actually flattens
+            keep = keep | (st.drift > 0.5)
         keep = keep & (st.i < n_max)
         return (st.i == 0) | keep
 
-    def should_continue(i, cnt, sigma, corr=0.0) -> bool:
+    def should_continue(i, cnt, sigma, corr=0.0, drift=0.0) -> bool:
         """Host-side copy of `cond` for the stepped driver."""
         if i == 0:
             return True
@@ -506,9 +643,13 @@ def make_sweep(
             ratio = sqrt_d_scale / sigma
             if kind == "rwm" and preconditioned:
                 ratio = min(1.0, ratio)
-            thresh = n_steps * ratio**2
-        return cnt < thresh or (corr_threshold > 0.0
-                                and corr > corr_threshold)
+            thresh = max(n_steps * ratio**2, min(n_steps, 5.0))
+        thr_eff = corr_threshold
+        if kind == "tpcn":
+            thr_eff = corr_threshold * min(1.0, sqrt_d_scale / sigma)
+        return (cnt < thresh
+                or (corr_threshold > 0.0 and corr > thr_eff)
+                or (drift_z > 0.0 and drift > 0.5))
 
     def init_state(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
                    flow_params=None, scaler_params=None):
@@ -550,8 +691,10 @@ def make_sweep(
             logp2=metric0,
             calls=calls0,
             accept=jnp.asarray(0.0, dtype),
-            v0=theta0 if preconditioned else u,
-            corr=jnp.asarray(1.0, dtype), key=key,
+            v0=u,
+            corr=jnp.asarray(1.0, dtype),
+            mwin=jnp.full((DRIFT_W,), metric0, dtype),
+            drift=jnp.asarray(0.0, dtype), key=key,
         )
 
     def _results(final: SweepState):

@@ -240,8 +240,15 @@ def make_train_program(flow, n_select: int, batch_size: int,
     ~100 per-leaf dispatches over the tunnel). Unsupported here (falls
     back to the host fit): noise injection, LR-plateau annealing.
 
-    Returns train(params, u_sel, w_sel, seed)
+    Returns train(params, u_sel, w_sel, seed[, terminated])
       -> (best_params, geom dict, stats [n_done, best_loss]).
+
+    `terminated` (phase A's device flag) skips the epoch while_loop —
+    pipelined overshoot iterations always have train_now=True (beta has
+    reached 1), and without the gate each paid the full flow fit, the
+    most expensive per-iteration program. The skip naturally keeps the
+    input params: best_loss stays inf, and the existing non-finite-fit
+    guard rolls back to the inputs (and their pre-layer).
     """
     stop_after = int(1.5 * patience)
     n_train = int(validation_split * n_select) if validation_split > 0 \
@@ -262,7 +269,7 @@ def make_train_program(flow, n_select: int, batch_size: int,
     whiten = bool(getattr(flow, "whiten", False))
     whiten_mode = getattr(flow, "whiten_mode", "full") or "full"
 
-    def train(params, u_sel, w_sel, seed):
+    def train(params, u_sel, w_sel, seed, terminated=None):
         key = jax.random.key(seed)
         k_shuf, k_epochs, k_geom = jax.random.split(key, 3)
 
@@ -328,7 +335,12 @@ def make_train_program(flow, n_select: int, batch_size: int,
         carry0 = (params, opt_state, k_epochs, params,
                   jnp.asarray(jnp.inf, jnp.float32),
                   jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-        final = jax.lax.while_loop(cond, one_epoch, carry0)
+        if terminated is None:
+            final = jax.lax.while_loop(cond, one_epoch, carry0)
+        else:
+            final = jax.lax.cond(
+                terminated, lambda c: c,
+                lambda c: jax.lax.while_loop(cond, one_epoch, c), carry0)
         best_params, best_loss = final[3], final[4]
         n_done = final[6]
         # If no epoch ever reached a finite monitored loss, KEEP THE INPUT

@@ -41,7 +41,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .mcmc import make_sweep, make_loglike_device
+from .mcmc import make_sweep, make_loglike_device, f32_precision
 from .models.flow import Flow
 from .models.geometry import Geometry
 from .particles import Particles
@@ -103,12 +103,7 @@ def make_logprior_device(prior, n: int):
     (see mcmc.make_loglike_device for the bf16-default rationale)."""
     if (getattr(prior, "traceable", False)
             or _is_traceable(prior.logpdf, (n, prior.dim), (n,))):
-        logpdf = prior.logpdf
-
-        def traced(x):
-            with jax.default_matmul_precision("float32"):
-                return logpdf(x)
-
+        traced = f32_precision(prior.logpdf)
         traced._pocomc_traced = True
         return traced
 
@@ -166,6 +161,7 @@ class Sampler:
                  n_max_steps: int = None,
                  plateau_z: float = 0.75,
                  corr_threshold: float = 0.5,
+                 drift_z: float = 3.0,
                  resample: str = "mult",
                  evidence_method: str = "auto",
                  output_dir: str = None,
@@ -245,6 +241,15 @@ class Sampler:
                 f"Invalid corr_threshold {corr_threshold!r}: must be in "
                 f"[0, 1).")
         self.corr_threshold = float(corr_threshold)
+        # Windowed drift test (beyond reference): keep sweeping while the
+        # plateau metric's trend over the last mcmc.DRIFT_W steps is
+        # statistically significant at drift_z standard errors. Catches
+        # funnel-type geometries whose slow steady expansion never trips
+        # plateau_z significance in any single step. 0 disables.
+        if float(drift_z) < 0.0:
+            raise ValueError(
+                f"Invalid drift_z {drift_z!r}: must be >= 0.")
+        self.drift_z = float(drift_z)
 
         self.n_total = None
         self.n_evidence = None
@@ -535,6 +540,7 @@ class Sampler:
                           n_steps=self.n_steps, n_max=self.n_max_steps,
                           plateau_z=self.plateau_z,
                           corr_threshold=self.corr_threshold,
+                          drift_z=self.drift_z,
                           live_stats=self._live_stats,
                           n_leapfrog=self.n_leapfrog)
             # imh needs the flow; its (unreachable — precondition is
@@ -551,18 +557,9 @@ class Sampler:
                 lambda x, scp: scaler.forward(x, params=scp))
             cache["scaler_inv"] = jax.jit(
                 lambda u, scp: scaler.inverse(u, params=scp))
-            if like_traceable:
-                like_fn = self._like_batch_fn
-
-                def like_host(x):
-                    # f32 matmul precision, like every likelihood trace
-                    # (mcmc.make_loglike_device rationale)
-                    with jax.default_matmul_precision("float32"):
-                        return like_fn(x)
-
-                cache["loglike_host"] = jax.jit(like_host)
-            else:
-                cache["loglike_host"] = None
+            cache["loglike_host"] = (
+                jax.jit(f32_precision(self._like_batch_fn))
+                if like_traceable else None)
         self._sweep_plain = cache["sweep_plain"]
         self._sweep_precond = cache["sweep_precond"]
         self._scaler_forward = cache["scaler_fwd"]
@@ -605,7 +602,7 @@ class Sampler:
                          for k, v in like.kwargs.items())),
             self.vectorize, id(self.prior),
             self.n_dim, self.n_active, self.n_steps, self.n_max_steps,
-            self.plateau_z, self.corr_threshold,
+            self.plateau_z, self.corr_threshold, self.drift_z,
             self.sample, self.n_leapfrog,
             self.preconditioned, self.metric, self.dynamic,
             float(self.dynamic_ratio), self.resample,
@@ -813,12 +810,12 @@ class Sampler:
                 scaler, log_prior = self.scaler, self._logprior_dev
                 like = self._like_batch_fn
 
+                like32 = f32_precision(like)
+
                 def wu(x, scp):
                     u = scaler.forward(x, params=scp)
                     _, logdetj = scaler.inverse(u, params=scp)
-                    with jax.default_matmul_precision("float32"):
-                        logl = like(x)
-                    return u, logdetj, log_prior(x), logl
+                    return u, logdetj, log_prior(x), like32(x)
 
                 prog = self._prog_cache[("WU",)] = jax.jit(wu)
             xs = np.asarray(self.prior_samples, dtype=np.float32)
@@ -1026,12 +1023,18 @@ class Sampler:
             nonlocal beta_h, ess1_h, ess_h, terminated
             batch = pending[:k]
             del pending[:k]
-            if self.mesh is not None and self.mesh.multihost:
-                stats = [(self._fetch(p["statsA"]), self._fetch(p["statsC"]))
-                         for p in batch]
-            else:
+            try:
+                # ONE batched transfer for the whole drain window: the
+                # sync round trip amortizes over k iterations (the point
+                # of the pipeline). Stats vectors are replicated jit
+                # outputs, so this works multi-host too.
                 stats = jax.device_get([(p["statsA"], p["statsC"])
                                         for p in batch])
+            except Exception:
+                # a backend/sharding combination where the outputs came
+                # back non-replicated: per-array all-gather fallback
+                stats = [(self._fetch(p["statsA"]), self._fetch(p["statsC"]))
+                         for p in batch]
             for p, (statsA, statsC) in zip(batch, stats):
                 if statsC[6] > 0.5:
                     # device-side termination guard fired: the iteration
@@ -1101,7 +1104,7 @@ class Sampler:
                     with self._trace("pocomc/train"):
                         params, geom, _tstats = progB(
                             self.flow.params, outA["u_sel"], outA["w_sel"],
-                            self._seed32())
+                            self._seed32(), outA["terminated"])
                     self.flow.params = params
                     self._geom_dev = geom
                     self.flow_untrained = False
@@ -1249,7 +1252,7 @@ class Sampler:
             blobs = blobs.copy()
         calls = 0
         # Two round trips per step instead of three: the previous step's
-        # packed [i, cnt, sigma, mean_alpha] stats ride in the SAME
+        # packed [i, cnt, sigma, mean_alpha, corr] stats ride in the SAME
         # transfer as the next step's proposal (their device values exist
         # by then), and the continue/stop decision happens BEFORE that
         # proposal's likelihood is evaluated — a stop discards only the
@@ -1270,8 +1273,9 @@ class Sampler:
                     self.pbar.update_stats(dict(
                         calls=self.calls + calls, acc=float(stats[3]),
                         steps=i))
-                if not sweep.should_continue(i, cnt, sigma,
-                                             corr=float(stats[4])):
+                if not sweep.should_continue(
+                        i, cnt, sigma, corr=float(stats[4]),
+                        drift=float(stats[5]) if len(stats) > 5 else 0.0):
                     break
             finite = np.asarray(finite)
             logl_p = np.full(n, -np.inf)
@@ -1398,6 +1402,8 @@ class Sampler:
                 # device_get blocks: all pending live-stat callbacks have
                 # fired before the sink is torn down
                 if self.mesh is not None and self.mesh.multihost:
+                    # particle arrays come back mesh-sharded (non-
+                    # addressable): all-gather each; scalars convert
                     results = {k: self._fetch(v)
                                for k, v in results.items()}
                 else:
@@ -1453,9 +1459,8 @@ class Sampler:
                 logp = log_prior(x_q)
                 finite = jnp.isfinite(logp)
                 x_safe = jnp.where(finite[:, None], x_q, 0.0)
-                with jax.default_matmul_precision("float32"):
-                    logl_q = like(x_safe)
-                logl = jnp.where(finite, logl_q, -jnp.inf)
+                logl = jnp.where(finite, f32_precision(like)(x_safe),
+                                 -jnp.inf)
                 # prior-rejected draws -> NaN (dropped from the average,
                 # reference sampler.py:897-901); -inf-LIKELIHOOD draws
                 # keep their -inf logw and stay in the denominator
@@ -1630,7 +1635,8 @@ class Sampler:
                       # added later (loaders tolerate their absence in
                       # older state dicts)
                       "n_steps", "n_max_steps", "plateau_z", "n_leapfrog",
-                      "pipeline", "evidence_method", "corr_threshold")
+                      "pipeline", "evidence_method", "corr_threshold",
+                      "drift_z")
 
     def state_dict(self):
         """Picklable snapshot: history, flow params, scaler/geometry
@@ -1664,7 +1670,7 @@ class Sampler:
         # would be wrong in both directions.
         program_keys = ("sample", "preconditioned", "n_active", "n_steps",
                         "n_max_steps", "plateau_z", "n_leapfrog",
-                        "corr_threshold")
+                        "corr_threshold", "drift_z")
         rebuild = any(k in state and state[k] != getattr(self, k)
                       for k in program_keys)
         for k in self._STATE_SCALARS:
@@ -1763,7 +1769,8 @@ class Sampler:
                               ("evidence_khat", None),
                               ("evidence_method_used", None),
                               ("profile_dir", None),
-                              ("corr_threshold", 0.5)):
+                              ("corr_threshold", 0.5),
+                              ("drift_z", 3.0)):
             self.__dict__.setdefault(attr, default)
         self.pool = None
         self.distribute = map
