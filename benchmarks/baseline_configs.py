@@ -32,6 +32,14 @@ def run(name, prior, loglike, expect, seed=0, **kw):
           f"logZ {s.logz:.3f} +- {s.logz_err:.3f}  khat {s.evidence_khat:.2f}"
           f"  smcZ {smc_logz:.3f}{smc_err}  analytic {exp_s}{err}",
           flush=True)
+    import os
+    if os.environ.get("POCOMC_ITER_TABLE"):
+        print("  t    beta  steps sigma   acc  corr")
+        for d_ in s._dev_iter_stats:
+            c = d_.get("corr")
+            print(f"  {d_['iter']:3d} {d_['beta']:.4f} {d_['steps']:4d} "
+                  f"{d_.get('sigma', 0.0):5.2f} {d_['accept']:5.2f} "
+                  f"{c if c is None else round(c, 3)}", flush=True)
     return s
 
 

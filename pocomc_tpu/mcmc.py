@@ -52,16 +52,10 @@ class SweepState(NamedTuple):
     accept: jnp.ndarray         # mean acceptance of last step
     v0: jnp.ndarray             # sweep-start u positions (decorrelation probe)
     corr: jnp.ndarray           # max |per-dim corr(v0, u_now)| across dims
-    mwin: jnp.ndarray           # (DRIFT_W,) ring of recent plateau metrics
-    drift: jnp.ndarray          # 1.0 while the windowed metric trend is
-                                # statistically significant (see drift_z)
+    hot: jnp.ndarray            # 1.0 while the population mean logl sits
+                                # significantly above the multiple-IS
+                                # equilibrium target (see calib_z)
     key: jnp.ndarray
-
-
-# Window length for the drift criterion: long enough that the two
-# half-window means average out per-step noise, short enough to engage
-# right past the typical easy-target plateau exit (~6 steps).
-DRIFT_W = 6
 
 
 # --- live per-step sweep statistics tap ---------------------------------
@@ -156,7 +150,8 @@ def make_sweep(
     flow_inv: Callable | None = None,   # (params, theta) -> (u, log|det du/dtheta|)
     plateau_z: float = 0.0,
     corr_threshold: float = 0.0,        # decorrelation target; 0 disables
-    drift_z: float = 0.0,               # windowed-trend z-gate; 0 disables
+    calib_z: float = 0.0,               # equilibrium-calibration z-gate;
+                                        # 0 disables (see accept_update)
     live_stats: bool = False,           # per-step tap via jax.debug.callback
     n_leapfrog: int = 5,                # hmc only: leapfrog steps/proposal
 ):
@@ -421,9 +416,16 @@ def make_sweep(
     def accept_update(st: SweepState, prop, logl_p, beta, geom) -> tuple:
         """Metropolis accept + diminishing adaptation + plateau counters.
         Returns (new_state, accept_mask, packed_stats) where packed_stats
-        = [i, cnt, sigma, mean_alpha, corr] as one f32 vector so the
-        stepped host driver syncs ONE transfer per step instead of five
-        scalar pulls (each a full round trip on a high-latency link)."""
+        = [i, cnt, sigma, mean_alpha, corr, hot] as one f32 vector so the
+        stepped host driver syncs ONE transfer per step instead of six
+        scalar pulls (each a full round trip on a high-latency link).
+
+        `geom["calib_target"]`/`geom["calib_se"]` (optional): the
+        multiple-IS estimate of E[logl | beta] over the full history and
+        its ratio-estimator standard error (phase A computes both on
+        device; the host paths compute them from the f64 history). Used
+        by the equilibrium-calibration continuation criterion — see the
+        `hot` block below; absent keys leave the criterion inert."""
         nu = geom.get("t_nu")
         n = st.u.shape[0]
         i1 = (st.i + 1).astype(st.sigma.dtype)
@@ -537,43 +539,68 @@ def make_sweep(
         else:
             corr = st.corr
 
-        # Windowed drift test (drift_z > 0): a funnel-type geometry keeps
-        # the walker population RELAXING toward the tempered measure for
-        # tens of steps, but the per-step metric change is below
-        # plateau_z significance, so the plateau rule writes the sweep
-        # off as converged (measured: funnel25 logZ err -2.2 at the
-        # plateau default vs -0.99 under the reference any-improvement
-        # rule). Aggregating the trend over a DRIFT_W-step window
-        # recovers the significance of slow steady drift: continue while
-        # the half-window means differ by drift_z * SE. TWO-SIDED on
-        # purpose: a resampled population is selected-hot, and
-        # equilibration (mass spreading into a funnel neck) DECREASES
-        # mean logl+logp — an upward-only test, like the reference's
-        # record rule, is structurally blind to the direction hard
-        # geometries actually drift. At stationarity the half-window
-        # difference is ~sem*sqrt(4/W) noise either way and the test
-        # goes quiet, so easy targets never pay for it.
-        if drift_z > 0.0:
-            mwin = jnp.concatenate([st.mwin[1:], metric[None]])
-            sem = jnp.std(vals) / jnp.sqrt(1.0 * n)
-            half = DRIFT_W // 2
-            dval = jnp.mean(mwin[half:]) - jnp.mean(mwin[:half])
-            se = sem * jnp.sqrt(4.0 / DRIFT_W)
-            # Neutral (0) until the ring is full: the plateau rule alone
-            # governs the first W steps, so easy targets that exit early
-            # are never forced to W.
-            drift = ((st.i + 1 >= DRIFT_W)
-                     & (jnp.abs(dval) > drift_z * se)).astype(sigma.dtype)
+        # Equilibrium-calibration test (calib_z > 0): the sweep START
+        # population is resampled FROM the history's multiple-IS weights,
+        # so its mean logl matches geom["calib_target"] by construction.
+        # If every earlier stage fully relaxed, the MCMC dynamics keep it
+        # there and this test stays quiet. But when an earlier sweep
+        # under-mixed, the history — and hence the start population — is
+        # biased (measured, RESULTS.md round 3: gauss50 stage means sit
+        # +2..+7.5 SE hot vs the analytic tempered expectation, and the
+        # SMC logz ladder inherits +2 nats because dlogZ/dbeta =
+        # E_beta[logl] exactly), and the sweep visibly pulls the
+        # population mean AWAY from the history's prediction toward the
+        # true tempered measure. Continue while that disagreement is
+        # calib_z standard errors significant: mutation is bought
+        # precisely where the history is measurably wrong, and the
+        # relaxed population written back then repairs the history for
+        # every later stage. TWO-SIDED: selection bias is hot, but
+        # equilibration into a funnel neck moves mean logl either way.
+        if calib_z > 0.0 and "calib_target" in geom:
+            # Scalar test on mean logl — the thermodynamic statistic
+            # (detects the gauss50-type selection-hot ladder directly).
+            tgt = geom["calib_target"]
+            pop_ok = jnp.isfinite(logl)
+            pop_n = jnp.maximum(jnp.sum(pop_ok), 1)
+            pop_mean = jnp.sum(jnp.where(pop_ok, logl, 0.0)) / pop_n
+            pop_var = jnp.sum(jnp.where(
+                pop_ok, (logl - pop_mean) ** 2, 0.0)) / pop_n
+            se = jnp.sqrt(pop_var / pop_n + geom["calib_se"] ** 2)
+            z_logl = jnp.abs(pop_mean - tgt) / jnp.maximum(se, 1e-30)
+            # Per-dimension moment tests in u space — the power the logl
+            # statistic lacks on heavy-tailed geometries (measured,
+            # funnel25: std(logl) is so large mid-ladder that an O(1)
+            # nat bias reads |z| < 2 while the x0 marginal drifts at
+            # |z| ~ 10). Mean and variance per dim against the history's
+            # multiple-IS targets; variance sampling error uses the
+            # population's own fourth moment (a funnel is far from the
+            # 2 sigma^4/n normal approximation). The max over 2d scores
+            # gets a +1 threshold inflation for multiple testing
+            # (max of ~2d null z's concentrates near sqrt(2 ln 2d)).
+            pm_d = jnp.mean(u, axis=0)
+            dev = u - pm_d
+            pv_d = jnp.mean(dev ** 2, axis=0)
+            m4_d = jnp.mean(dev ** 4, axis=0)
+            se_m = jnp.sqrt(pv_d / n + geom["calib_mean_se2"])
+            z_m = jnp.abs(pm_d - geom["calib_mean"]) \
+                / jnp.maximum(se_m, 1e-30)
+            se_v = jnp.sqrt(jnp.maximum(m4_d - pv_d ** 2, 0.0) / n
+                            + geom["calib_var_se2"])
+            z_v = jnp.abs(pv_d - geom["calib_var"]) \
+                / jnp.maximum(se_v, 1e-30)
+            z_dim = jnp.maximum(jnp.max(z_m), jnp.max(z_v))
+            hot = ((z_logl > calib_z)
+                   | (z_dim > calib_z + 1.0)).astype(sigma.dtype)
         else:
-            mwin, drift = st.mwin, st.drift
+            hot = st.hot
 
         new_st = SweepState(u, x, logdetj, logl, logp, theta, ldjf,
                             sigma, mu, grad, st.i + 1, cnt, logp2, calls,
-                            alpha_mean, st.v0, corr, mwin, drift,
+                            alpha_mean, st.v0, corr, hot,
                             prop["key"])
         stats = jnp.stack([new_st.i.astype(sigma.dtype),
                            cnt.astype(sigma.dtype), sigma, alpha_mean,
-                           corr.astype(sigma.dtype), drift])
+                           corr.astype(sigma.dtype), hot])
         return new_st, accept, stats
 
     def cond(st: SweepState) -> jnp.ndarray:
@@ -623,15 +650,15 @@ def make_sweep(
             else:
                 thr_eff = corr_threshold
             keep = keep | (st.corr > thr_eff)
-        if drift_z > 0.0:
-            # windowed drift test (see accept_update): slow steady
-            # expansion that plateau significance misses keeps the sweep
-            # alive until the trend actually flattens
-            keep = keep | (st.drift > 0.5)
+        if calib_z > 0.0:
+            # equilibrium-calibration test (see accept_update): keep
+            # sweeping while the population mean logl significantly
+            # disagrees with the history's multiple-IS prediction
+            keep = keep | (st.hot > 0.5)
         keep = keep & (st.i < n_max)
         return (st.i == 0) | keep
 
-    def should_continue(i, cnt, sigma, corr=0.0, drift=0.0) -> bool:
+    def should_continue(i, cnt, sigma, corr=0.0, hot=0.0) -> bool:
         """Host-side copy of `cond` for the stepped driver."""
         if i == 0:
             return True
@@ -649,7 +676,7 @@ def make_sweep(
             thr_eff = corr_threshold * min(1.0, sqrt_d_scale / sigma)
         return (cnt < thresh
                 or (corr_threshold > 0.0 and corr > thr_eff)
-                or (drift_z > 0.0 and drift > 0.5))
+                or (calib_z > 0.0 and hot > 0.5))
 
     def init_state(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
                    flow_params=None, scaler_params=None):
@@ -693,8 +720,7 @@ def make_sweep(
             accept=jnp.asarray(0.0, dtype),
             v0=u,
             corr=jnp.asarray(1.0, dtype),
-            mwin=jnp.full((DRIFT_W,), metric0, dtype),
-            drift=jnp.asarray(0.0, dtype), key=key,
+            hot=jnp.asarray(0.0, dtype), key=key,
         )
 
     def _results(final: SweepState):
@@ -702,7 +728,7 @@ def make_sweep(
                     logl=final.logl, logp=final.logp,
                     efficiency=final.sigma, accept=final.accept,
                     steps=final.i, calls=final.calls,
-                    proposal_scale=final.sigma)
+                    proposal_scale=final.sigma, corr=final.corr)
 
     def _sweep_impl(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
                     flow_params=None, scaler_params=None):

@@ -161,7 +161,7 @@ class Sampler:
                  n_max_steps: int = None,
                  plateau_z: float = 0.75,
                  corr_threshold: float = 0.5,
-                 drift_z: float = 3.0,
+                 calib_z: float = 3.0,
                  resample: str = "mult",
                  evidence_method: str = "auto",
                  output_dir: str = None,
@@ -241,15 +241,18 @@ class Sampler:
                 f"Invalid corr_threshold {corr_threshold!r}: must be in "
                 f"[0, 1).")
         self.corr_threshold = float(corr_threshold)
-        # Windowed drift test (beyond reference): keep sweeping while the
-        # plateau metric's trend over the last mcmc.DRIFT_W steps is
-        # statistically significant at drift_z standard errors. Catches
-        # funnel-type geometries whose slow steady expansion never trips
-        # plateau_z significance in any single step. 0 disables.
-        if float(drift_z) < 0.0:
+        # Equilibrium-calibration test (beyond reference): keep sweeping
+        # while the population mean logl disagrees with the history's
+        # multiple-IS estimate of E[logl | beta] by more than calib_z
+        # combined standard errors. Since dlogZ/dbeta = E_beta[logl],
+        # this calibrates exactly the quantity whose bias compounds
+        # through the SMC evidence ladder; easy targets stay within
+        # noise of the prediction and never pay for it. 0 disables. See
+        # mcmc.py accept_update.
+        if float(calib_z) < 0.0:
             raise ValueError(
-                f"Invalid drift_z {drift_z!r}: must be >= 0.")
-        self.drift_z = float(drift_z)
+                f"Invalid calib_z {calib_z!r}: must be >= 0.")
+        self.calib_z = float(calib_z)
 
         self.n_total = None
         self.n_evidence = None
@@ -540,7 +543,7 @@ class Sampler:
                           n_steps=self.n_steps, n_max=self.n_max_steps,
                           plateau_z=self.plateau_z,
                           corr_threshold=self.corr_threshold,
-                          drift_z=self.drift_z,
+                          calib_z=self.calib_z,
                           live_stats=self._live_stats,
                           n_leapfrog=self.n_leapfrog)
             # imh needs the flow; its (unreachable — precondition is
@@ -602,7 +605,7 @@ class Sampler:
                          for k, v in like.kwargs.items())),
             self.vectorize, id(self.prior),
             self.n_dim, self.n_active, self.n_steps, self.n_max_steps,
-            self.plateau_z, self.corr_threshold, self.drift_z,
+            self.plateau_z, self.corr_threshold, self.calib_z,
             self.sample, self.n_leapfrog,
             self.preconditioned, self.metric, self.dynamic,
             float(self.dynamic_ratio), self.resample,
@@ -1058,7 +1061,9 @@ class Sampler:
                 self._dev_iter_stats.append(dict(
                     iter=p["t"], calls=self.calls, steps=steps,
                     efficiency=eff, ess=ess_h, accept=accept, beta=beta_h,
-                    logz=logz_h))
+                    logz=logz_h,
+                    corr=float(statsC[7]) if len(statsC) > 7 else None,
+                    sigma=self.proposal_scale))
                 self.pbar.update_stats(dict(
                     beta=beta_h, calls=self.calls, ESS=int(ess_h),
                     logZ=logz_h, logP=logp_mean, acc=accept, steps=steps,
@@ -1116,7 +1121,8 @@ class Sampler:
                                          jnp.float32(self.proposal_scale),
                                          self._geom_dev, flow_params,
                                          self._seed32(), self._scp(),
-                                         outA["terminated"])
+                                         outA["terminated"],
+                                         outA["calib"])
                 self._hist_dev = hist
                 self._slot_count += 1
                 pending.append(dict(statsA=outA["stats"], statsC=statsC,
@@ -1223,6 +1229,21 @@ class Sampler:
         current_particles["beta"] = beta
         current_particles["weights"] = weights_t
         current_particles["ess"] = ess_est
+        # equilibrium-calibration targets for the sweep (mcmc.py
+        # accept_update): multiple-IS E[logl | beta] plus per-dim u
+        # mean/variance over the trimmed history, each with its
+        # self-normalized ratio-estimator SE, in host f64
+        logl_sel = current_particles["logl"]
+        tgt = float(np.sum(weights_t * logl_sel))
+        se = float(np.sqrt(np.sum(weights_t ** 2 * (logl_sel - tgt) ** 2)))
+        u_sel = np.asarray(current_particles["u"], dtype=np.float64)
+        m_tgt = weights_t @ u_sel
+        udev = u_sel - m_tgt
+        v_tgt = weights_t @ udev ** 2
+        w2 = weights_t ** 2
+        current_particles["calib"] = dict(
+            logl=(tgt, se), mean=m_tgt, mean_se2=w2 @ udev ** 2,
+            var=v_tgt, var_se2=w2 @ (udev ** 2 - v_tgt) ** 2)
         return current_particles
 
     @staticmethod
@@ -1275,7 +1296,7 @@ class Sampler:
                         steps=i))
                 if not sweep.should_continue(
                         i, cnt, sigma, corr=float(stats[4]),
-                        drift=float(stats[5]) if len(stats) > 5 else 0.0):
+                        hot=float(stats[5]) if len(stats) > 5 else 0.0):
                     break
             finite = np.asarray(finite)
             logl_p = np.full(n, -np.inf)
@@ -1364,6 +1385,21 @@ class Sampler:
         geom = dict(t_mean=geom_src.t_mean, t_chol=geom_src.t_chol,
                     t_inv_cov=geom_src.t_inv_cov, t_nu=geom_src.t_nu,
                     normal_chol=geom_src.normal_chol)
+        # calibration targets from _reweight; infinite SEs (no target
+        # available, e.g. a directly-driven mutate) keep the criterion
+        # inert while preserving the geom pytree structure across calls
+        d = self.n_dim
+        calib = current_particles.get("calib") or dict(
+            logl=(0.0, np.inf), mean=np.zeros(d),
+            mean_se2=np.full(d, np.inf), var=np.ones(d),
+            var_se2=np.full(d, np.inf))
+        geom["calib_target"] = jnp.float32(calib["logl"][0])
+        geom["calib_se"] = jnp.float32(calib["logl"][1])
+        f32a = lambda a: jnp.asarray(a, dtype=jnp.float32)
+        geom["calib_mean"] = f32a(calib["mean"])
+        geom["calib_mean_se2"] = f32a(calib["mean_se2"])
+        geom["calib_var"] = f32a(calib["var"])
+        geom["calib_var_se2"] = f32a(calib["var_se2"])
 
         f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
         if self.mesh is not None:
@@ -1636,7 +1672,7 @@ class Sampler:
                       # older state dicts)
                       "n_steps", "n_max_steps", "plateau_z", "n_leapfrog",
                       "pipeline", "evidence_method", "corr_threshold",
-                      "drift_z")
+                      "calib_z")
 
     def state_dict(self):
         """Picklable snapshot: history, flow params, scaler/geometry
@@ -1670,7 +1706,7 @@ class Sampler:
         # would be wrong in both directions.
         program_keys = ("sample", "preconditioned", "n_active", "n_steps",
                         "n_max_steps", "plateau_z", "n_leapfrog",
-                        "corr_threshold", "drift_z")
+                        "corr_threshold", "calib_z")
         rebuild = any(k in state and state[k] != getattr(self, k)
                       for k in program_keys)
         for k in self._STATE_SCALARS:
@@ -1770,7 +1806,7 @@ class Sampler:
                               ("evidence_method_used", None),
                               ("profile_dir", None),
                               ("corr_threshold", 0.5),
-                              ("drift_z", 3.0)):
+                              ("calib_z", 3.0)):
             self.__dict__.setdefault(attr, default)
         self.pool = None
         self.distribute = map
