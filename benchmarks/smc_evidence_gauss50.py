@@ -66,7 +66,7 @@ def final_mis(logl, beta, ladder, beta_final=1.0):
     return z
 
 
-def analyze(logl, beta, logz_stored, expect, oracle=None):
+def analyze(logl, beta, logz_stored, expect, oracle=None, resid=None):
     """Offline ladder forensics + candidate-fix evaluation."""
     T, n = logl.shape
     sc = self_consistent_ladder(logl, beta)
@@ -78,6 +78,19 @@ def analyze(logl, beta, logz_stored, expect, oracle=None):
             ("self-consistent", final_mis(logl, beta, sc)),
             ("incremental", final_mis(logl, beta, inc)),
             ("split-half", final_mis(logl[:, h:], beta, sc_a))]
+    if resid is not None:
+        # residual-hotness corrected ladder: each rung's first-order bias
+        # is dbeta_t * hot_t where hot_t is the stage population's
+        # remaining mean-logl relaxation, estimated in-run by the sweep's
+        # paired-window extrapolation (mcmc.py accept_update `resid`)
+        dbeta = np.diff(beta, prepend=0.0)
+        corr_ladder = logz_stored - np.cumsum(dbeta * resid)
+        rows.append(("resid-corrected",
+                     final_mis(logl, beta, corr_ladder)))
+        if oracle is not None:
+            print("resid estimate vs oracle hotness (nats):")
+            for t in [1, 5, 10, 25, 50, T - 1]:
+                print(f"  t={t:3d}  resid {resid[t]:+9.3f}")
     if oracle is not None:
         rows.append(("oracle ladder", final_mis(logl, beta, oracle)))
         ix = [1, T // 2, -1]
@@ -158,11 +171,21 @@ def main(corr_threshold=0.5):
           f"max {zs.max():+.1f}  (z at t=5/25/50: "
           f"{zs[min(5, T-1)]:+.1f}/{zs[min(25, T-1)]:+.1f}/"
           f"{zs[min(50, T-1)]:+.1f})")
+    # per-stage oracle hotness for the resid-estimator validation
+    hot_nats = np.array([logl64[t].mean() - (
+        nc - 0.5 * np.trace(cov_inv @ np.linalg.inv(
+            np.eye(d) / ps**2 + beta[t] * cov_inv))) for t in range(T)])
+    resid = np.asarray(s.particles.get("resid"), dtype=np.float64)
+    print("stage:   resid(est)  hot(oracle)   [nats]")
+    for t in [1, 5, 10, 20, 30, 40, 50, 60, T - 1]:
+        print(f"{t:4d}  {resid[t]:+11.3f}  {hot_nats[t]:+11.3f}")
+
     import os
     os.makedirs(".round3", exist_ok=True)
     np.savez(".round3/gauss50_hist.npz", logl=logl64, beta=beta,
-             logz=logz_stored, oracle=oracle, expect=expect)
-    analyze(logl64, beta, logz_stored, expect, oracle)
+             logz=logz_stored, oracle=oracle, expect=expect,
+             resid=resid, hot=hot_nats)
+    analyze(logl64, beta, logz_stored, expect, oracle, resid=resid)
 
 
 if __name__ == "__main__":

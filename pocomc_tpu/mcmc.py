@@ -52,10 +52,25 @@ class SweepState(NamedTuple):
     accept: jnp.ndarray         # mean acceptance of last step
     v0: jnp.ndarray             # sweep-start u positions (decorrelation probe)
     corr: jnp.ndarray           # max |per-dim corr(v0, u_now)| across dims
-    hot: jnp.ndarray            # 1.0 while the population mean logl sits
-                                # significantly above the multiple-IS
-                                # equilibrium target (see calib_z)
+    u_snap: jnp.ndarray         # u at the last drift-window refresh
+    logl_snap: jnp.ndarray      # logl at the last drift-window refresh
+    i_snap: jnp.ndarray         # step index of that refresh
+    hot: jnp.ndarray            # 1.0 while the last closed window showed
+                                # statistically significant population
+                                # drift (see calib_z in accept_update)
+    resid: jnp.ndarray          # residual-hotness estimate: geometric
+                                # extrapolation of the remaining mean-logl
+                                # relaxation at sweep end (ladder bias
+                                # correction; see accept_update)
     key: jnp.ndarray
+
+
+# Drift-test window length (steps): paired per-walker displacements are
+# accumulated over CALIB_W steps before each significance evaluation.
+# Long enough that real relaxation outruns per-step noise, short enough
+# that easy targets exiting on the ~5-step plateau rule never pay for a
+# second window.
+CALIB_W = 6
 
 
 # --- live per-step sweep statistics tap ---------------------------------
@@ -416,16 +431,10 @@ def make_sweep(
     def accept_update(st: SweepState, prop, logl_p, beta, geom) -> tuple:
         """Metropolis accept + diminishing adaptation + plateau counters.
         Returns (new_state, accept_mask, packed_stats) where packed_stats
-        = [i, cnt, sigma, mean_alpha, corr, hot] as one f32 vector so the
-        stepped host driver syncs ONE transfer per step instead of six
-        scalar pulls (each a full round trip on a high-latency link).
-
-        `geom["calib_target"]`/`geom["calib_se"]` (optional): the
-        multiple-IS estimate of E[logl | beta] over the full history and
-        its ratio-estimator standard error (phase A computes both on
-        device; the host paths compute them from the f64 history). Used
-        by the equilibrium-calibration continuation criterion — see the
-        `hot` block below; absent keys leave the criterion inert."""
+        = [i, cnt, sigma, mean_alpha, corr, hot, resid] as one f32 vector
+        so the stepped host driver syncs ONE transfer per step instead of
+        seven scalar pulls (each a full round trip on a high-latency
+        link)."""
         nu = geom.get("t_nu")
         n = st.u.shape[0]
         i1 = (st.i + 1).astype(st.sigma.dtype)
@@ -539,68 +548,88 @@ def make_sweep(
         else:
             corr = st.corr
 
-        # Equilibrium-calibration test (calib_z > 0): the sweep START
-        # population is resampled FROM the history's multiple-IS weights,
-        # so its mean logl matches geom["calib_target"] by construction.
-        # If every earlier stage fully relaxed, the MCMC dynamics keep it
-        # there and this test stays quiet. But when an earlier sweep
-        # under-mixed, the history — and hence the start population — is
-        # biased (measured, RESULTS.md round 3: gauss50 stage means sit
-        # +2..+7.5 SE hot vs the analytic tempered expectation, and the
-        # SMC logz ladder inherits +2 nats because dlogZ/dbeta =
-        # E_beta[logl] exactly), and the sweep visibly pulls the
-        # population mean AWAY from the history's prediction toward the
-        # true tempered measure. Continue while that disagreement is
-        # calib_z standard errors significant: mutation is bought
-        # precisely where the history is measurably wrong, and the
-        # relaxed population written back then repairs the history for
-        # every later stage. TWO-SIDED: selection bias is hot, but
-        # equilibration into a funnel neck moves mean logl either way.
-        if calib_z > 0.0 and "calib_target" in geom:
-            # Scalar test on mean logl — the thermodynamic statistic
-            # (detects the gauss50-type selection-hot ladder directly).
-            tgt = geom["calib_target"]
-            pop_ok = jnp.isfinite(logl)
-            pop_n = jnp.maximum(jnp.sum(pop_ok), 1)
-            pop_mean = jnp.sum(jnp.where(pop_ok, logl, 0.0)) / pop_n
-            pop_var = jnp.sum(jnp.where(
-                pop_ok, (logl - pop_mean) ** 2, 0.0)) / pop_n
-            se = jnp.sqrt(pop_var / pop_n + geom["calib_se"] ** 2)
-            z_logl = jnp.abs(pop_mean - tgt) / jnp.maximum(se, 1e-30)
-            # Per-dimension moment tests in u space — the power the logl
-            # statistic lacks on heavy-tailed geometries (measured,
-            # funnel25: std(logl) is so large mid-ladder that an O(1)
-            # nat bias reads |z| < 2 while the x0 marginal drifts at
-            # |z| ~ 10). Mean and variance per dim against the history's
-            # multiple-IS targets; variance sampling error uses the
-            # population's own fourth moment (a funnel is far from the
-            # 2 sigma^4/n normal approximation). The max over 2d scores
-            # gets a +1 threshold inflation for multiple testing
-            # (max of ~2d null z's concentrates near sqrt(2 ln 2d)).
-            pm_d = jnp.mean(u, axis=0)
-            dev = u - pm_d
-            pv_d = jnp.mean(dev ** 2, axis=0)
-            m4_d = jnp.mean(dev ** 4, axis=0)
-            se_m = jnp.sqrt(pv_d / n + geom["calib_mean_se2"])
-            z_m = jnp.abs(pm_d - geom["calib_mean"]) \
-                / jnp.maximum(se_m, 1e-30)
-            se_v = jnp.sqrt(jnp.maximum(m4_d - pv_d ** 2, 0.0) / n
-                            + geom["calib_var_se2"])
-            z_v = jnp.abs(pv_d - geom["calib_var"]) \
-                / jnp.maximum(se_v, 1e-30)
+        # Equilibrium-drift test (calib_z > 0), evaluated each time a
+        # CALIB_W-step window closes. A resampled population is
+        # selected-hot: duplicates of high-logl particles whose residual
+        # bias each later reweighting inherits (measured, RESULTS.md
+        # round 3: gauss50 stage means sit +2..+7.5 SE above the analytic
+        # tempered expectation and the SMC logz ladder compounds +2 nats,
+        # because dlogZ/dbeta = E_beta[logl] exactly). While the sweep is
+        # still relaxing that bias away, the population MOVES coherently;
+        # at equilibrium it only jitters. The test: per-walker PAIRED
+        # displacements over the last window — mean logl drift, and
+        # per-dimension first/second-moment drift in u space. Pairing is
+        # what gives the test its power exactly where mixing is slow: the
+        # paired SE carries a sqrt(2(1-rho)) factor (rho = walker-level
+        # window autocorrelation), so a slow coherent relaxation that an
+        # unpaired population test drowns in std(logl) reads tens of
+        # sigma here (measured, funnel25 mid-ladder: unpaired |z| < 2
+        # while the neck dimension drifts at paired |z| ~ 10). TWO-SIDED:
+        # selection bias is hot, but equilibration into a funnel neck
+        # moves mean logl either way. At stationarity every statistic is
+        # a calibrated N(0,1) and the test goes quiet, so easy targets
+        # exit on the plateau rule before a second window even closes.
+        if calib_z > 0.0:
+            i1i = st.i + 1
+            full = (i1i - st.i_snap) >= CALIB_W
+            ok = jnp.isfinite(logl) & jnp.isfinite(st.logl_snap)
+            nn = jnp.maximum(jnp.sum(ok), 2).astype(sigma.dtype)
+            dl = jnp.where(ok, logl - st.logl_snap, 0.0)
+            D = jnp.sum(dl) / nn
+            var_dl = jnp.sum(jnp.where(ok, (dl - D) ** 2, 0.0)) / nn
+            z_logl = jnp.abs(D) / jnp.maximum(
+                jnp.sqrt(var_dl / nn), 1e-30)
+            # per-dim paired drift of the mean and of the second moment
+            # (funnel-type geometries expand a marginal's spread long
+            # after its mean has settled); max over 2d scores gets a +1
+            # threshold inflation for multiple testing (the max of ~2d
+            # null z's concentrates near sqrt(2 ln 2d))
+            du = u - st.u_snap
+            Dm = jnp.mean(du, axis=0)
+            z_m = jnp.abs(Dm) / jnp.maximum(
+                jnp.std(du, axis=0) / jnp.sqrt(1.0 * n), 1e-30)
+            ds = u ** 2 - st.u_snap ** 2
+            Dv = jnp.mean(ds, axis=0)
+            z_v = jnp.abs(Dv) / jnp.maximum(
+                jnp.std(ds, axis=0) / jnp.sqrt(1.0 * n), 1e-30)
             z_dim = jnp.maximum(jnp.max(z_m), jnp.max(z_v))
-            hot = ((z_logl > calib_z)
-                   | (z_dim > calib_z + 1.0)).astype(sigma.dtype)
+            fired = ((z_logl > calib_z)
+                     | (z_dim > calib_z + 1.0)).astype(sigma.dtype)
+            hot = jnp.where(full, fired, st.hot)
+            # Residual-hotness extrapolation for the evidence-ladder bias
+            # correction (ops/weights.py): if the window-scale memory is
+            # rho_w = corr(logl_snap, logl_now), a geometric relaxation
+            # still has D * rho_w/(1-rho_w) of mean-logl drift left to
+            # go. Recorded per stage and subtracted (times dbeta) from
+            # the logz rung — whatever bias the adaptive budget could not
+            # afford to mutate away, the estimator removes. Clipped to
+            # rho_w <= 0.9: beyond that the extrapolation is off the end
+            # of its own data (and the drift test is still firing anyway).
+            l0c = jnp.where(ok, st.logl_snap, 0.0)
+            l1c = jnp.where(ok, logl, 0.0)
+            m0 = jnp.sum(l0c) / nn
+            m1 = jnp.sum(l1c) / nn
+            cov01 = jnp.sum(jnp.where(
+                ok, (l0c - m0) * (l1c - m1), 0.0)) / nn
+            v0v = jnp.sum(jnp.where(ok, (l0c - m0) ** 2, 0.0)) / nn
+            v1v = jnp.sum(jnp.where(ok, (l1c - m1) ** 2, 0.0)) / nn
+            rho_w = cov01 / jnp.maximum(jnp.sqrt(v0v * v1v), 1e-30)
+            rho_w = jnp.clip(rho_w, 0.0, 0.9)
+            resid = jnp.where(full, D * rho_w / (1.0 - rho_w), st.resid)
+            u_snap = jnp.where(full, u, st.u_snap)
+            logl_snap = jnp.where(full, logl, st.logl_snap)
+            i_snap = jnp.where(full, i1i, st.i_snap)
         else:
-            hot = st.hot
+            hot, resid = st.hot, st.resid
+            u_snap, logl_snap, i_snap = st.u_snap, st.logl_snap, st.i_snap
 
         new_st = SweepState(u, x, logdetj, logl, logp, theta, ldjf,
                             sigma, mu, grad, st.i + 1, cnt, logp2, calls,
-                            alpha_mean, st.v0, corr, hot,
-                            prop["key"])
+                            alpha_mean, st.v0, corr, u_snap, logl_snap,
+                            i_snap, hot, resid, prop["key"])
         stats = jnp.stack([new_st.i.astype(sigma.dtype),
                            cnt.astype(sigma.dtype), sigma, alpha_mean,
-                           corr.astype(sigma.dtype), hot])
+                           corr.astype(sigma.dtype), hot, resid])
         return new_st, accept, stats
 
     def cond(st: SweepState) -> jnp.ndarray:
@@ -651,9 +680,9 @@ def make_sweep(
                 thr_eff = corr_threshold
             keep = keep | (st.corr > thr_eff)
         if calib_z > 0.0:
-            # equilibrium-calibration test (see accept_update): keep
-            # sweeping while the population mean logl significantly
-            # disagrees with the history's multiple-IS prediction
+            # equilibrium-drift test (see accept_update): keep sweeping
+            # while the last closed window showed statistically
+            # significant coherent population drift
             keep = keep | (st.hot > 0.5)
         keep = keep & (st.i < n_max)
         return (st.i == 0) | keep
@@ -720,7 +749,10 @@ def make_sweep(
             accept=jnp.asarray(0.0, dtype),
             v0=u,
             corr=jnp.asarray(1.0, dtype),
-            hot=jnp.asarray(0.0, dtype), key=key,
+            u_snap=u, logl_snap=logl,
+            i_snap=jnp.asarray(0, jnp.int32),
+            hot=jnp.asarray(0.0, dtype),
+            resid=jnp.asarray(0.0, dtype), key=key,
         )
 
     def _results(final: SweepState):
@@ -728,7 +760,8 @@ def make_sweep(
                     logl=final.logl, logp=final.logp,
                     efficiency=final.sigma, accept=final.accept,
                     steps=final.i, calls=final.calls,
-                    proposal_scale=final.sigma, corr=final.corr)
+                    proposal_scale=final.sigma, corr=final.corr,
+                    resid=final.resid)
 
     def _sweep_impl(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
                     flow_params=None, scaler_params=None):

@@ -152,9 +152,6 @@ def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
                           enqueue-ahead would otherwise overshoot by up
                           to 2*pipeline full sweeps of likelihood calls)
       stats (5,)          [beta, logz, metric_at_beta, n_eff_next, uss_active]
-      calib (dict)        multiple-IS targets at beta for the sweep's
-                          equilibrium-calibration criterion (phase C):
-                          logl=[E_w[logl], SE], per-dim u mean/var + SE^2
 
     Mirrors reference sampler.py:717-805 (bisection branches, dynamic
     n_effective, trim). Fixed-count bisection replaces the host's
@@ -162,7 +159,8 @@ def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
     metric tolerance.
     """
 
-    def reweight(hist: DeviceHistory, n_effective, n_total):
+    def reweight(hist: DeviceHistory, n_effective, n_total,
+                 resid_prev=0.0):
         T_max, n = hist.logl.shape
         valid_t = jnp.arange(T_max) < hist.t
         valid_flat = jnp.repeat(valid_t, n)
@@ -197,8 +195,16 @@ def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
         w, logz_new = _flat_weights_at(hist, valid_t, valid_flat, beta)
         m_at = _metric_of(w, valid_flat, metric)
         # reference keeps the previous running logZ when beta stalls
-        # (sampler.py:752-757 + the host loop's logz carry-over)
-        logz = jnp.where(beta == beta_prev, logz_prev, logz_new)
+        # (sampler.py:752-757 + the host loop's logz carry-over).
+        # Moving rungs get the residual-hotness correction: the latest
+        # stage population is hot by ~resid_prev nats (the sweep's own
+        # paired-window extrapolation, mcmc.py accept_update), and since
+        # dlogZ/dbeta = E_beta[logl] the rung inherits dbeta * resid of
+        # bias (measured = 96% of the gauss50 ladder drift; RESULTS.md
+        # round 3). Corrected values are STORED so later rungs, MIS
+        # weights, and beta selection stay self-consistent.
+        logz = jnp.where(beta == beta_prev, logz_prev,
+                         logz_new - (beta - beta_prev) * resid_prev)
 
         # dynamic n_effective (reference sampler.py:783-790); int() = trunc
         nu_active = uss_jax(w, n_active)
@@ -216,34 +222,14 @@ def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
 
         w_t = trim_weights_jax(w, valid_flat, ess=trim_ess, bins=trim_bins)
 
-        # Equilibrium-calibration targets for phase C's sweep (mcmc.py
-        # accept_update): the multiple-IS estimates over the trimmed
-        # history (exactly the resampling distribution) of E[logl | beta]
-        # plus per-dimension u mean/variance, each with its
-        # self-normalized ratio-estimator SE.
-        d = hist.u.shape[-1]
-        lflat = hist.logl.reshape(-1)
-        calib_tgt = jnp.sum(w_t * lflat)
-        calib_se = jnp.sqrt(jnp.sum(w_t ** 2 * (lflat - calib_tgt) ** 2))
-        uflat = hist.u.reshape(T_max * n, d)
-        m_tgt = w_t @ uflat
-        udev = uflat - m_tgt
-        v_tgt = w_t @ udev ** 2
-        w2 = w_t ** 2
-        m_se2 = w2 @ udev ** 2
-        v_se2 = w2 @ (udev ** 2 - v_tgt) ** 2
-        calib = dict(logl=jnp.stack([calib_tgt, calib_se]),
-                     mean=m_tgt, mean_se2=m_se2,
-                     var=v_tgt, var_se2=v_se2)
-
         w_sel, idx = jax.lax.top_k(w_t, n_select)
         w_sel = w_sel / jnp.sum(w_sel)
-        u_sel = uflat[idx]
+        d = hist.u.shape[-1]
+        u_sel = hist.u.reshape(T_max * n, d)[idx]
 
         stats = jnp.stack([beta, logz, m_at, n_eff_next, nu_active])
         return dict(beta=beta, logz=logz, w_flat=w_t, u_sel=u_sel,
-                    w_sel=w_sel, stats=stats, terminated=terminated,
-                    calib=calib)
+                    w_sel=w_sel, stats=stats, terminated=terminated)
 
     return jax.jit(reweight)
 
@@ -405,10 +391,9 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
     iteration in the else branch of sampler.py:636-678).
 
     Returns mutate(hist, beta, logz, w_flat, u_sel, w_sel, sigma0, geom,
-    flow_params, seed[, scaler_params][, terminated][, calib])
-    -> (hist', stats)
+    flow_params, seed[, scaler_params][, terminated]) -> (hist', stats)
     with stats = [accept, steps, calls, proposal_scale, metric_at_beta1,
-    mean_logl_logp, noop].
+    mean_logl_logp, noop, corr, resid].
 
     `terminated` (from phase A) makes the whole iteration a device-side
     no-op under `lax.cond`: the pipelined host enqueues up to 2*pipeline
@@ -423,22 +408,13 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
 
     def mutate(hist: DeviceHistory, beta, logz, w_flat, u_sel, w_sel,
                sigma0, geom, flow_params, seed, scaler_params=None,
-               terminated=None, calib=None):
+               terminated=None):
         T_max, n, d = hist.u.shape
         key = jax.random.key(seed)
         k_res, k_geom, k_sweep = jax.random.split(key, 3)
 
         if not preconditioned:
             geom = _fit_geometry_impl(u_sel, w_sel, k_geom)
-        if calib is not None:
-            # phase A's multiple-IS targets for the sweep's equilibrium-
-            # calibration criterion (mcmc.py accept_update)
-            geom = dict(geom, calib_target=calib["logl"][0],
-                        calib_se=calib["logl"][1],
-                        calib_mean=calib["mean"],
-                        calib_mean_se2=calib["mean_se2"],
-                        calib_var=calib["var"],
-                        calib_var_se2=calib["var_se2"])
 
         def do_iter(hist):
             idx = resampler(k_res, n_active, w_flat)
@@ -459,7 +435,8 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
                 res["calls"].astype(jnp.float32), res["proposal_scale"],
                 jnp.mean(res["logl"] + res["logp"]),
                 jnp.asarray(0.0, jnp.float32),
-                res["corr"].astype(jnp.float32)])
+                res["corr"].astype(jnp.float32),
+                res["resid"].astype(jnp.float32)])
             return hist, s
 
         def skip_iter(hist):
@@ -470,6 +447,7 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
                            jnp.asarray(0.0, jnp.float32),
                            jnp.asarray(sigma0, jnp.float32),
                            lp_mean, jnp.asarray(1.0, jnp.float32),
+                           jnp.asarray(0.0, jnp.float32),
                            jnp.asarray(0.0, jnp.float32)])
             return hist, s
 
@@ -486,7 +464,8 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
                                  jnp.asarray(1.0, hist.beta.dtype))
         m1 = _metric_of(w1, valid_flat, metric)
 
-        stats = jnp.stack([s[0], s[1], s[2], s[3], m1, s[4], s[5], s[6]])
+        stats = jnp.stack([s[0], s[1], s[2], s[3], m1, s[4], s[5], s[6],
+                           s[7]])
         return hist, stats
 
     return jax.jit(mutate)

@@ -18,7 +18,8 @@ import numpy as np
 from .ops.weights import compute_logw_and_logz as _logw_logz
 
 _KEYS = ("u", "x", "logdetj", "logl", "logp", "logw", "blobs", "iter",
-         "logz", "calls", "steps", "efficiency", "ess", "accept", "beta")
+         "logz", "calls", "steps", "efficiency", "ess", "accept", "beta",
+         "resid")
 
 
 class Particles:

@@ -241,14 +241,16 @@ class Sampler:
                 f"Invalid corr_threshold {corr_threshold!r}: must be in "
                 f"[0, 1).")
         self.corr_threshold = float(corr_threshold)
-        # Equilibrium-calibration test (beyond reference): keep sweeping
-        # while the population mean logl disagrees with the history's
-        # multiple-IS estimate of E[logl | beta] by more than calib_z
-        # combined standard errors. Since dlogZ/dbeta = E_beta[logl],
-        # this calibrates exactly the quantity whose bias compounds
-        # through the SMC evidence ladder; easy targets stay within
-        # noise of the prediction and never pay for it. 0 disables. See
-        # mcmc.py accept_update.
+        # Equilibrium-drift test (beyond reference): keep sweeping while
+        # the population still drifts coherently — paired per-walker
+        # displacement tests (mean logl + per-dim u moments) over
+        # mcmc.CALIB_W-step windows, significant at calib_z standard
+        # errors. A still-relaxing population means the resampled start
+        # was selection-biased; since dlogZ/dbeta = E_beta[logl], that
+        # bias is exactly what compounds through the SMC evidence
+        # ladder. At stationarity every statistic is a calibrated N(0,1)
+        # and easy targets never pay for it. 0 disables. See mcmc.py
+        # accept_update.
         if float(calib_z) < 0.0:
             raise ValueError(
                 f"Invalid calib_z {calib_z!r}: must be >= 0.")
@@ -874,7 +876,8 @@ class Sampler:
                 u=u, x=x, logl=logl, logp=logp, logdetj=logdetj,
                 logw=-1e300 * np.ones(self.n_active), blobs=blobs,
                 iter=self.t, calls=self.calls, steps=1, efficiency=1.0,
-                ess=self.n_effective, accept=1.0, beta=0.0, logz=0.0)
+                ess=self.n_effective, accept=1.0, beta=0.0, logz=0.0,
+                resid=0.0)
             self.particles.update(self.current_particles)
             self.pbar.update_stats(dict(calls=self.calls, beta=0.0,
                                         ESS=int(self.n_effective), logZ=0.0,
@@ -1019,6 +1022,11 @@ class Sampler:
         # ordinary SMC iterations at the final temperature).
         pending = []
         terminated = not (1.0 - beta_h >= 1e-4 or ess1_h < self.n_total)
+        # residual-hotness of the newest history stage (ladder correction
+        # input to phase A); a resumed run re-seeds it from the host store
+        self._resid_dev = jnp.float32(
+            self.particles.get("resid", index=-1)
+            if self.particles.past.get("resid") else 0.0)
 
         def sync_batch(k):
             """Sync the oldest k pending iterations in ONE device_get (one
@@ -1063,6 +1071,7 @@ class Sampler:
                     efficiency=eff, ess=ess_h, accept=accept, beta=beta_h,
                     logz=logz_h,
                     corr=float(statsC[7]) if len(statsC) > 7 else None,
+                    resid=float(statsC[8]) if len(statsC) > 8 else 0.0,
                     sigma=self.proposal_scale))
                 self.pbar.update_stats(dict(
                     beta=beta_h, calls=self.calls, ESS=int(ess_h),
@@ -1103,8 +1112,12 @@ class Sampler:
                     or self.flow_untrained)
 
                 with self._trace("pocomc/reweight"):
+                    # resid_prev rides device-to-device from the previous
+                    # iteration's (possibly not-yet-synced) mutate stats
+                    # — the pipeline never blocks on it
                     outA = progA(hist, jnp.float32(self.n_effective),
-                                 jnp.float32(self.n_total))
+                                 jnp.float32(self.n_total),
+                                 self._resid_dev)
                 if train_now:
                     with self._trace("pocomc/train"):
                         params, geom, _tstats = progB(
@@ -1121,9 +1134,9 @@ class Sampler:
                                          jnp.float32(self.proposal_scale),
                                          self._geom_dev, flow_params,
                                          self._seed32(), self._scp(),
-                                         outA["terminated"],
-                                         outA["calib"])
+                                         outA["terminated"])
                 self._hist_dev = hist
+                self._resid_dev = statsC[8]
                 self._slot_count += 1
                 pending.append(dict(statsA=outA["stats"], statsC=statsC,
                                     t=self.t, n_select=n_select,
@@ -1204,6 +1217,22 @@ class Sampler:
             self.n_effective, metric=self.metric)
         if beta == beta_prev:
             logz = self.particles.get("logz", index=-1)
+        elif self.calib_z > 0.0:
+            # Residual-hotness ladder correction: the rung estimate is
+            # dominated by the latest stage's population, which is hot by
+            # ~resid nats (the sweep's own paired-window extrapolation of
+            # its unfinished relaxation, mcmc.py accept_update). Since
+            # dlogZ/dbeta = E_beta[logl], the rung inherits dbeta * resid
+            # of bias — measured on the 50-D cond-1e3 Gaussian (closed-
+            # form tempered logz at every rung): drift = sum(dbeta*hot)
+            # to 4%, RESULTS.md round 3. Subtracting the measured
+            # estimate removes whatever bias the adaptive mutation budget
+            # could not afford to sweep away. The corrected value is
+            # STORED, so later rungs, MIS weights, and beta selection
+            # stay self-consistent (the oracle-ladder experiment shows
+            # correct rungs make the final MIS estimate exact).
+            logz -= (beta - beta_prev) * self.particles.get(
+                "resid", index=-1)
         self.pbar.update_stats(dict(beta=beta, ESS=int(ess_est), logZ=logz))
 
         weights = np.exp(logw - np.max(logw))
@@ -1229,21 +1258,6 @@ class Sampler:
         current_particles["beta"] = beta
         current_particles["weights"] = weights_t
         current_particles["ess"] = ess_est
-        # equilibrium-calibration targets for the sweep (mcmc.py
-        # accept_update): multiple-IS E[logl | beta] plus per-dim u
-        # mean/variance over the trimmed history, each with its
-        # self-normalized ratio-estimator SE, in host f64
-        logl_sel = current_particles["logl"]
-        tgt = float(np.sum(weights_t * logl_sel))
-        se = float(np.sqrt(np.sum(weights_t ** 2 * (logl_sel - tgt) ** 2)))
-        u_sel = np.asarray(current_particles["u"], dtype=np.float64)
-        m_tgt = weights_t @ u_sel
-        udev = u_sel - m_tgt
-        v_tgt = weights_t @ udev ** 2
-        w2 = weights_t ** 2
-        current_particles["calib"] = dict(
-            logl=(tgt, se), mean=m_tgt, mean_se2=w2 @ udev ** 2,
-            var=v_tgt, var_se2=w2 @ (udev ** 2 - v_tgt) ** 2)
         return current_particles
 
     @staticmethod
@@ -1385,21 +1399,6 @@ class Sampler:
         geom = dict(t_mean=geom_src.t_mean, t_chol=geom_src.t_chol,
                     t_inv_cov=geom_src.t_inv_cov, t_nu=geom_src.t_nu,
                     normal_chol=geom_src.normal_chol)
-        # calibration targets from _reweight; infinite SEs (no target
-        # available, e.g. a directly-driven mutate) keep the criterion
-        # inert while preserving the geom pytree structure across calls
-        d = self.n_dim
-        calib = current_particles.get("calib") or dict(
-            logl=(0.0, np.inf), mean=np.zeros(d),
-            mean_se2=np.full(d, np.inf), var=np.ones(d),
-            var_se2=np.full(d, np.inf))
-        geom["calib_target"] = jnp.float32(calib["logl"][0])
-        geom["calib_se"] = jnp.float32(calib["logl"][1])
-        f32a = lambda a: jnp.asarray(a, dtype=jnp.float32)
-        geom["calib_mean"] = f32a(calib["mean"])
-        geom["calib_mean_se2"] = f32a(calib["mean_se2"])
-        geom["calib_var"] = f32a(calib["var"])
-        geom["calib_var_se2"] = f32a(calib["var_se2"])
 
         f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
         if self.mesh is not None:
@@ -1455,6 +1454,9 @@ class Sampler:
         current_particles["accept"] = float(results["accept"])
         current_particles["calls"] = self.calls + int(results["calls"])
         current_particles["iter"] = self.t
+        # residual-hotness estimate for the evidence-ladder bias
+        # correction (mcmc.py accept_update, ops/weights.py)
+        current_particles["resid"] = float(results.get("resid", 0.0))
         self.calls = current_particles["calls"]
         self.proposal_scale = float(results["proposal_scale"])
 
@@ -1715,6 +1717,10 @@ class Sampler:
         if rebuild:
             self._build_device_fns()
         self.particles.past = state["particles_past"]
+        # states written before the residual-hotness key existed: pad the
+        # (new) per-stage resid list so columns stay index-aligned
+        self.particles.past.setdefault(
+            "resid", [0.0] * len(self.particles.past["beta"]))
         self.particles.results_dict = None
         # invalidate device-loop caches tied to the previous run
         self._geom_dev = None

@@ -66,6 +66,83 @@ def test_corr_criterion_cheap_when_mixing_is_fast():
     assert steps_corr <= steps_plain + 3
 
 
+def _drift_sweep(calib_z, center, sigma0=0.05, n_max=24, seed=0):
+    """Plain tpcn sweep from a population centered at `center` (0 =
+    equilibrium-ish start, >0 = displaced/hot start). Returns (steps,
+    resid)."""
+    prior = Prior([Normal(0.0, 3.0) for _ in range(D)])
+    scaler = Reparameterize(D, bounds=prior.bounds)
+
+    def log_like(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    key = jax.random.key(seed)
+    u = jax.random.normal(key, (N, D)) * 0.5 + center
+    x, logdetj = scaler.inverse(u)
+    logl = log_like(x)
+    logp = prior.logpdf(x)
+    geom = fit_geometry_jax(u, weights=jnp.full((N,), 1.0 / N),
+                            key=jax.random.key(1))
+    sweep = make_sweep(scaler=scaler, log_prior=prior.logpdf,
+                       log_like=make_loglike_device(log_like, True, True),
+                       n_dim=D, n_steps=1, n_max=n_max, kind="tpcn",
+                       preconditioned=False, plateau_z=0.75,
+                       calib_z=calib_z)
+    res = sweep(u, x, logdetj, logl, logp, jnp.float32(1.0),
+                jnp.float32(sigma0), geom, jax.random.key(3))
+    return int(res["steps"]), float(res["resid"])
+
+
+def test_drift_criterion_extends_relaxing_sweeps():
+    """A displaced start population relaxes coherently for many small-
+    sigma steps; the paired windowed drift test must keep the sweep
+    alive past the plateau exit, and the residual-hotness extrapolation
+    must report the unfinished relaxation with the right sign (mean
+    logl INCREASES toward the mode => resid > 0... here the displaced
+    start has LOWER logl, so relaxation raises it: D > 0)."""
+    steps_plain, _ = _drift_sweep(calib_z=0.0, center=2.0)
+    steps_drift, resid = _drift_sweep(calib_z=3.0, center=2.0)
+    assert steps_drift > steps_plain
+    # capped at n_max while still relaxing: the last window still shows
+    # coherent positive drift, so the extrapolated residual is positive
+    # and material on the logl scale (population spans O(1) nats)
+    assert resid > 0.05
+
+
+def test_drift_criterion_quiet_at_equilibrium():
+    """Starting AT the target with a healthy proposal scale: the drift
+    statistics are calibrated N(0,1) noise and the criterion must not
+    extend the sweep by more than ~one window."""
+    from pocomc_tpu.mcmc import CALIB_W
+    steps_plain, _ = _drift_sweep(calib_z=0.0, center=0.0, sigma0=0.9)
+    steps_drift, resid = _drift_sweep(calib_z=3.0, center=0.0, sigma0=0.9)
+    assert steps_drift <= steps_plain + CALIB_W
+    assert abs(resid) < 0.5
+
+
+def test_reweight_ladder_residual_correction():
+    """Phase A subtracts dbeta * resid_prev from a MOVING rung and
+    leaves a stalled rung alone (the carry rule)."""
+    from pocomc_tpu.parallel import fused
+
+    n, d, t_max = 64, 2, 4
+    rng = np.random.default_rng(1)
+    u = rng.normal(size=(1, n, d))
+    logl = rng.normal(size=(1, n)) * 0.3 - 1.0
+    beta = np.array([0.0])
+    logz = np.array([0.0])
+    hist = fused.history_from_numpy(u, u, np.zeros((1, n)), logl,
+                                    np.zeros((1, n)), beta, logz, t_max)
+    progA = fused.make_reweight_program(n, n)
+    out0 = progA(hist, jnp.float32(n // 2), jnp.float32(1e9))
+    out1 = progA(hist, jnp.float32(n // 2), jnp.float32(1e9),
+                 jnp.float32(2.0))
+    db = float(out0["beta"]) - 0.0
+    assert db > 0.0
+    assert float(out1["logz"]) == pytest.approx(
+        float(out0["logz"]) - db * 2.0, abs=1e-5)
+
+
 def test_corr_threshold_validation():
     prior = Prior([Normal(0, 5), Normal(0, 5)])
     like = lambda x: -0.5 * jnp.sum(x**2, axis=-1)
