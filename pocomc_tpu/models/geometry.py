@@ -40,16 +40,59 @@ def _unweighted_moments(theta):
     return mean, cov
 
 
+def _lw_lambda(x, mean, cov):
+    """Ledoit-Wolf (2004) shrinkage intensity toward the scaled identity,
+    computed from the same points the covariance was estimated from.
+
+    Rationale (measured, RESULTS.md round 3 "geometry shrinkage"): the
+    t-pCN Metropolis ratio compares the true tempered target against the
+    fitted t-geometry, so COVARIANCE ESTIMATION NOISE is pure proposal
+    misfit — with n samples in d dimensions the Wishart fluctuation
+    alone contributes ~sqrt(d^2/n)/2 nats of log-density scatter (0.8
+    nats at the gauss50 working point d=50, n=2048), which collapses the
+    misfit-adaptive sigma cap and with it the sweep's decorrelation
+    rate. LW shrinkage removes the noise floor while its intensity
+    self-scales to ~0 when n >> d^2 or when the measured dispersion is
+    real structure (the b^2/d^2 ratio), so well-resolved fits are left
+    untouched."""
+    d = cov.shape[0]
+    n = x.shape[0]
+    mu = jnp.trace(cov) / d
+    xc = x - mean
+    # d2 = ||cov - mu I||_F^2 / d  (dispersion: structure + noise)
+    d2 = (jnp.sum(cov * cov) - d * mu ** 2) / d
+    # b2 = (1/n^2) sum_k ||x_k x_k^T - cov||_F^2 / d  (noise estimate)
+    q = jnp.sum(xc * xc, axis=1)                    # x_k^T x_k
+    xsx = jnp.einsum("ki,ij,kj->k", xc, cov, xc)    # x_k^T cov x_k
+    b2 = (jnp.sum(q ** 2) - 2.0 * jnp.sum(xsx)
+          + n * jnp.sum(cov * cov)) / (n ** 2 * d)
+    b2 = jnp.minimum(b2, d2)
+    return jnp.where(d2 > 0, b2 / jnp.maximum(d2, 1e-30), 0.0)
+
+
+def _lw_shrink(cov, lam):
+    d = cov.shape[0]
+    mu = jnp.trace(cov) / d
+    return (1.0 - lam) * cov + lam * mu * jnp.eye(d, dtype=cov.dtype)
+
+
 def _fit_geometry_impl(theta, weights, key):
     """Full geometry fit as ONE traced program (called under jit)."""
     if weights is None:
         normal_mean, normal_cov = _unweighted_moments(theta)
         t_mean, t_cov, t_nu = fit_mvstud(theta)
+        pts = theta
     else:
         normal_mean, normal_cov = _weighted_moments(theta, weights)
         idx = systematic_resample_jax(key, theta.shape[0], weights)
-        t_mean, t_cov, t_nu = fit_mvstud(theta[idx])
+        pts = theta[idx]
+        t_mean, t_cov, t_nu = fit_mvstud(pts)
     t_nu = jnp.where(jnp.isfinite(t_nu), t_nu, 1e6)
+    # Ledoit-Wolf shrinkage of both proposal covariances (see _lw_lambda)
+    lam_t = _lw_lambda(pts, t_mean, t_cov)
+    t_cov = _lw_shrink(t_cov, lam_t)
+    lam_n = _lw_lambda(pts, normal_mean, normal_cov)
+    normal_cov = _lw_shrink(normal_cov, lam_n)
     # Pre-factorize for the kernels (t_cov is SPD by construction).
     eps = 1e-12 * jnp.trace(t_cov) / t_cov.shape[0]
     t_cov_reg = t_cov + eps * jnp.eye(t_cov.shape[0], dtype=t_cov.dtype)
