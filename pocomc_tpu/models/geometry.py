@@ -64,8 +64,10 @@ def _lw_lambda(x, mean, cov):
     # b2 = (1/n^2) sum_k ||x_k x_k^T - cov||_F^2 / d  (noise estimate)
     q = jnp.sum(xc * xc, axis=1)                    # x_k^T x_k
     xsx = jnp.einsum("ki,ij,kj->k", xc, cov, xc)    # x_k^T cov x_k
+    # float denominator: n**2*d as a Python int overflows the int32
+    # canonicalization once the history exceeds ~sqrt(2^31/d) rows
     b2 = (jnp.sum(q ** 2) - 2.0 * jnp.sum(xsx)
-          + n * jnp.sum(cov * cov)) / (n ** 2 * d)
+          + n * jnp.sum(cov * cov)) / (float(n) ** 2 * d)
     b2 = jnp.minimum(b2, d2)
     return jnp.where(d2 > 0, b2 / jnp.maximum(d2, 1e-30), 0.0)
 
