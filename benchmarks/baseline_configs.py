@@ -34,12 +34,16 @@ def run(name, prior, loglike, expect, seed=0, **kw):
           flush=True)
     import os
     if os.environ.get("POCOMC_ITER_TABLE"):
-        print("  t    beta  steps sigma   acc  corr")
+        print("  t    beta  steps sigma   acc  corr   hot z_logl z_dim "
+              "resid")
         for d_ in s._dev_iter_stats:
             c = d_.get("corr")
             print(f"  {d_['iter']:3d} {d_['beta']:.4f} {d_['steps']:4d} "
                   f"{d_.get('sigma', 0.0):5.2f} {d_['accept']:5.2f} "
-                  f"{c if c is None else round(c, 3)}", flush=True)
+                  f"{c if c is None else round(c, 3)} "
+                  f"{d_.get('hot', 0.0):5.1f} {d_.get('z_logl', 0.0):6.1f} "
+                  f"{d_.get('z_dim', 0.0):5.1f} "
+                  f"{d_.get('resid', 0.0):8.2f}", flush=True)
     return s
 
 
@@ -161,8 +165,20 @@ def cosmo30(**kw):
     _posterior_moment_check(s, cov, ps)
 
 
+def quickstart(**kw):
+    # the reference quickstart (BASELINE.md row 1): banana-coupled 10-D
+    # Rosenbrock, N(0,3) prior, pure Sampler defaults. Exact logZ by 1-D
+    # quadrature of the pairwise-factorized integrand: -21.4021.
+    d = 10
+    prior = pc.Prior([pc.Normal(0.0, 3.0) for _ in range(d)])
+    def loglike(x):
+        return -jnp.sum(10.0 * (x[..., ::2] ** 2 - x[..., 1::2]) ** 2
+                        + (x[..., ::2] - 1.0) ** 2, axis=-1)
+    run("quickstart (ref defaults)", prior, loglike, -21.4021, **kw)
+
+
 ALL = dict(rosenbrock10=rosenbrock10, gauss50=gauss50, mixture20=mixture20,
-           funnel25=funnel25, cosmo30=cosmo30)
+           funnel25=funnel25, cosmo30=cosmo30, quickstart=quickstart)
 
 if __name__ == "__main__":
     # extra `key=value` args become Sampler kwargs (e.g. corr_threshold=0)

@@ -62,6 +62,9 @@ class SweepState(NamedTuple):
                                 # extrapolation of the remaining mean-logl
                                 # relaxation at sweep end (ladder bias
                                 # correction; see accept_update)
+    z_logl: jnp.ndarray         # drift-test z of the last closed window:
+    z_dim: jnp.ndarray          # paired mean-logl / max per-dim moment
+                                # (diagnostics; surfaced in iter stats)
     key: jnp.ndarray
 
 
@@ -619,14 +622,18 @@ def make_sweep(
             u_snap = jnp.where(full, u, st.u_snap)
             logl_snap = jnp.where(full, logl, st.logl_snap)
             i_snap = jnp.where(full, i1i, st.i_snap)
+            z_logl_st = jnp.where(full, z_logl, st.z_logl)
+            z_dim_st = jnp.where(full, z_dim, st.z_dim)
         else:
             hot, resid = st.hot, st.resid
             u_snap, logl_snap, i_snap = st.u_snap, st.logl_snap, st.i_snap
+            z_logl_st, z_dim_st = st.z_logl, st.z_dim
 
         new_st = SweepState(u, x, logdetj, logl, logp, theta, ldjf,
                             sigma, mu, grad, st.i + 1, cnt, logp2, calls,
                             alpha_mean, st.v0, corr, u_snap, logl_snap,
-                            i_snap, hot, resid, prop["key"])
+                            i_snap, hot, resid, z_logl_st, z_dim_st,
+                            prop["key"])
         stats = jnp.stack([new_st.i.astype(sigma.dtype),
                            cnt.astype(sigma.dtype), sigma, alpha_mean,
                            corr.astype(sigma.dtype), hot, resid])
@@ -752,7 +759,9 @@ def make_sweep(
             u_snap=u, logl_snap=logl,
             i_snap=jnp.asarray(0, jnp.int32),
             hot=jnp.asarray(0.0, dtype),
-            resid=jnp.asarray(0.0, dtype), key=key,
+            resid=jnp.asarray(0.0, dtype),
+            z_logl=jnp.asarray(0.0, dtype),
+            z_dim=jnp.asarray(0.0, dtype), key=key,
         )
 
     def _results(final: SweepState):
@@ -761,7 +770,8 @@ def make_sweep(
                     efficiency=final.sigma, accept=final.accept,
                     steps=final.i, calls=final.calls,
                     proposal_scale=final.sigma, corr=final.corr,
-                    resid=final.resid)
+                    resid=final.resid, hot=final.hot,
+                    z_logl=final.z_logl, z_dim=final.z_dim)
 
     def _sweep_impl(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
                     flow_params=None, scaler_params=None):

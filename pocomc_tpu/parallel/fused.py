@@ -436,19 +436,20 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
                 jnp.mean(res["logl"] + res["logp"]),
                 jnp.asarray(0.0, jnp.float32),
                 res["corr"].astype(jnp.float32),
-                res["resid"].astype(jnp.float32)])
+                res["resid"].astype(jnp.float32),
+                res["hot"].astype(jnp.float32),
+                res["z_logl"].astype(jnp.float32),
+                res["z_dim"].astype(jnp.float32)])
             return hist, s
 
         def skip_iter(hist):
             last = jnp.maximum(hist.t - 1, 0)
             lp_mean = jnp.mean(hist.logl[last] + hist.logp[last])
-            s = jnp.stack([jnp.asarray(0.0, jnp.float32),
-                           jnp.asarray(0.0, jnp.float32),
-                           jnp.asarray(0.0, jnp.float32),
+            zero = jnp.asarray(0.0, jnp.float32)
+            s = jnp.stack([zero, zero, zero,
                            jnp.asarray(sigma0, jnp.float32),
                            lp_mean, jnp.asarray(1.0, jnp.float32),
-                           jnp.asarray(0.0, jnp.float32),
-                           jnp.asarray(0.0, jnp.float32)])
+                           zero, zero, zero, zero, zero])
             return hist, s
 
         if terminated is None:
@@ -465,7 +466,7 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
         m1 = _metric_of(w1, valid_flat, metric)
 
         stats = jnp.stack([s[0], s[1], s[2], s[3], m1, s[4], s[5], s[6],
-                           s[7]])
+                           s[7], s[8], s[9], s[10]])
         return hist, stats
 
     return jax.jit(mutate)

@@ -1072,6 +1072,9 @@ class Sampler:
                     logz=logz_h,
                     corr=float(statsC[7]) if len(statsC) > 7 else None,
                     resid=float(statsC[8]) if len(statsC) > 8 else 0.0,
+                    hot=float(statsC[9]) if len(statsC) > 9 else 0.0,
+                    z_logl=float(statsC[10]) if len(statsC) > 10 else 0.0,
+                    z_dim=float(statsC[11]) if len(statsC) > 11 else 0.0,
                     sigma=self.proposal_scale))
                 self.pbar.update_stats(dict(
                     beta=beta_h, calls=self.calls, ESS=int(ess_h),
