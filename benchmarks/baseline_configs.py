@@ -35,7 +35,7 @@ def run(name, prior, loglike, expect, seed=0, **kw):
     import os
     if os.environ.get("POCOMC_ITER_TABLE"):
         print("  t    beta  steps sigma   acc  corr   hot z_logl z_dim "
-              "resid")
+              "resid      nu misfit")
         for d_ in s._dev_iter_stats:
             c = d_.get("corr")
             print(f"  {d_['iter']:3d} {d_['beta']:.4f} {d_['steps']:4d} "
@@ -43,7 +43,9 @@ def run(name, prior, loglike, expect, seed=0, **kw):
                   f"{c if c is None else round(c, 3)} "
                   f"{d_.get('hot', 0.0):5.1f} {d_.get('z_logl', 0.0):6.1f} "
                   f"{d_.get('z_dim', 0.0):5.1f} "
-                  f"{d_.get('resid', 0.0):8.2f}", flush=True)
+                  f"{d_.get('resid', 0.0):8.2f} "
+                  f"{d_.get('nu', 0.0):7.0f} "
+                  f"{d_.get('misfit', 0.0):6.2f}", flush=True)
     return s
 
 

@@ -65,6 +65,10 @@ class SweepState(NamedTuple):
     z_logl: jnp.ndarray         # drift-test z of the last closed window:
     z_dim: jnp.ndarray          # paired mean-logl / max per-dim moment
                                 # (diagnostics; surfaced in iter stats)
+    misfit: jnp.ndarray         # std over the live population of
+                                # log pi_v - log t_geom (nats): the
+                                # geometry-fit statistic driving the
+                                # adaptive sigma cap (tpcn only; 0 else)
     key: jnp.ndarray
 
 
@@ -480,8 +484,12 @@ def make_sweep(
             _loc = min(sqrt_d_scale, sigma_cap)
             _tpcn_cap = _loc + (sigma_cap - _loc) \
                 * jnp.exp(-0.5 * misfit ** 2)
+            misfit_st = misfit.astype(st.sigma.dtype)
         elif kind in ("mala", "hmc", "imh"):
             log_ratio = log_ratio + prop["corr"]
+            misfit_st = st.misfit
+        else:
+            misfit_st = st.misfit
 
         alpha = jnp.minimum(1.0, jnp.exp(log_ratio))
         alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
@@ -633,7 +641,7 @@ def make_sweep(
                             sigma, mu, grad, st.i + 1, cnt, logp2, calls,
                             alpha_mean, st.v0, corr, u_snap, logl_snap,
                             i_snap, hot, resid, z_logl_st, z_dim_st,
-                            prop["key"])
+                            misfit_st, prop["key"])
         stats = jnp.stack([new_st.i.astype(sigma.dtype),
                            cnt.astype(sigma.dtype), sigma, alpha_mean,
                            corr.astype(sigma.dtype), hot, resid])
@@ -761,7 +769,8 @@ def make_sweep(
             hot=jnp.asarray(0.0, dtype),
             resid=jnp.asarray(0.0, dtype),
             z_logl=jnp.asarray(0.0, dtype),
-            z_dim=jnp.asarray(0.0, dtype), key=key,
+            z_dim=jnp.asarray(0.0, dtype),
+            misfit=jnp.asarray(0.0, dtype), key=key,
         )
 
     def _results(final: SweepState):
@@ -771,7 +780,8 @@ def make_sweep(
                     steps=final.i, calls=final.calls,
                     proposal_scale=final.sigma, corr=final.corr,
                     resid=final.resid, hot=final.hot,
-                    z_logl=final.z_logl, z_dim=final.z_dim)
+                    z_logl=final.z_logl, z_dim=final.z_dim,
+                    misfit=final.misfit)
 
     def _sweep_impl(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
                     flow_params=None, scaler_params=None):

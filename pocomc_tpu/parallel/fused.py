@@ -439,7 +439,9 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
                 res["resid"].astype(jnp.float32),
                 res["hot"].astype(jnp.float32),
                 res["z_logl"].astype(jnp.float32),
-                res["z_dim"].astype(jnp.float32)])
+                res["z_dim"].astype(jnp.float32),
+                jnp.minimum(geom["t_nu"], 1e6).astype(jnp.float32),
+                res["misfit"].astype(jnp.float32)])
             return hist, s
 
         def skip_iter(hist):
@@ -449,7 +451,7 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
             s = jnp.stack([zero, zero, zero,
                            jnp.asarray(sigma0, jnp.float32),
                            lp_mean, jnp.asarray(1.0, jnp.float32),
-                           zero, zero, zero, zero, zero])
+                           zero, zero, zero, zero, zero, zero, zero])
             return hist, s
 
         if terminated is None:
@@ -466,7 +468,7 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
         m1 = _metric_of(w1, valid_flat, metric)
 
         stats = jnp.stack([s[0], s[1], s[2], s[3], m1, s[4], s[5], s[6],
-                           s[7], s[8], s[9], s[10]])
+                           s[7], s[8], s[9], s[10], s[11], s[12]])
         return hist, stats
 
     return jax.jit(mutate)

@@ -160,10 +160,11 @@ class Sampler:
                  n_steps: int = None,
                  n_max_steps: int = None,
                  plateau_z: float = 0.75,
-                 corr_threshold: float = 0.5,
+                 corr_threshold: float = None,
                  calib_z: float = 3.0,
                  resample: str = "mult",
                  evidence_method: str = "auto",
+                 evidence_refine: int = 2,
                  output_dir: str = None,
                  output_label: str = None,
                  random_state: int = None,
@@ -236,11 +237,23 @@ class Sampler:
         # decorrelate within the plateau window (no extra cost); curved
         # geometries (funnels) automatically buy more steps, up to
         # n_max_steps. 0 disables (pure plateau rule). See mcmc.py cond.
-        if not 0.0 <= float(corr_threshold) < 1.0:
+        #
+        # None = auto: 0.5 normally; tightened to 0.15 when
+        # run(n_evidence=0) selects the SMC persistent-sampling ladder as
+        # the evidence estimator. The ladder compounds per-rung bias
+        # ~ dbeta * corr_exit * Var_beta(dbeta*logl) across every rung
+        # (measured, RESULTS.md round 3 "decorrelation dose-response":
+        # 50-D Gaussian smcZ err +2.17 at corr_exit~0.2 -> +0.46 at
+        # corr_exit~0.06), so ladder-grade stage populations must carry
+        # ~no start memory; the flow-IS estimator (n_evidence > 0) never
+        # touches the ladder and keeps the cheap target.
+        self._corr_auto = corr_threshold is None
+        _ct = 0.5 if corr_threshold is None else float(corr_threshold)
+        if not 0.0 <= _ct < 1.0:
             raise ValueError(
                 f"Invalid corr_threshold {corr_threshold!r}: must be in "
                 f"[0, 1).")
-        self.corr_threshold = float(corr_threshold)
+        self.corr_threshold = _ct
         # Equilibrium-drift test (beyond reference): keep sweeping while
         # the population still drifts coherently — paired per-walker
         # displacement tests (mean logl + per-dim u moments) over
@@ -365,6 +378,23 @@ class Sampler:
         # config — when the flow/posterior overlap is poor it degenerates
         # with overconfident error bars; RESULTS.md "bridge-sampling
         # postmortem" — and deleted per the parity-code-is-debt rule.)
+        # khat-triggered evidence refinement (beyond reference): when the
+        # flow-IS tail diagnostic k-hat exceeds 0.7 — importance ratios
+        # effectively have infinite variance, so the estimate cannot be
+        # trusted at ANY n_evidence — the run extends itself (n_total
+        # doubles, adding beta=1 history rungs that enrich the flow's
+        # training set) and re-draws the evidence, up to this many
+        # rounds. Measured on the 25-D funnel at otherwise pure defaults
+        # (RESULTS.md round 3): logZ err -2.19 -> -1.20 -> -0.54 over two
+        # rounds (257k -> 705k likelihood calls); clean runs never
+        # trigger and pay nothing. 0 restores reference behavior
+        # (warn only).
+        if int(evidence_refine) < 0:
+            raise ValueError(
+                f"Invalid evidence_refine {evidence_refine!r}: must be a "
+                f"non-negative integer.")
+        self.evidence_refine = int(evidence_refine)
+        self._refine_round = 0
         if evidence_method not in ("auto", "is", "psis"):
             raise ValueError(f"Invalid evidence_method {evidence_method}. "
                              f"Options are 'auto', 'is' or 'psis'.")
@@ -730,6 +760,16 @@ class Sampler:
 
         self.n_total = int(n_total)
         self.n_evidence = int(n_evidence)
+        if self._corr_auto:
+            # ladder-grade decorrelation when the SMC persistent-sampling
+            # ladder IS the evidence estimator (see __init__ rationale).
+            # The engine programs bake corr_threshold into their traces
+            # (_engine_key), so a change must re-fetch them — without the
+            # rebuild the new target silently never takes effect.
+            _ct = 0.15 if self.n_evidence == 0 else 0.5
+            if _ct != self.corr_threshold:
+                self.corr_threshold = _ct
+                self._build_device_fns()
 
         if self.prior_samples is None:
             # Seed the warmup draw from the sampler RNG: an unseeded
@@ -792,7 +832,11 @@ class Sampler:
 
             if self.n_evidence > 0 and self.preconditioned:
                 with self._trace("pocomc/evidence"):
-                    self._compute_evidence(self.n_evidence)
+                    # suppress the k-hat warning while a refinement round
+                    # can still react to it; the final round warns
+                    may_refine = self._refine_round < self.evidence_refine
+                    self._compute_evidence(self.n_evidence,
+                                           warn=not may_refine)
             else:
                 _, self.logz = self.particles.compute_logw_and_logz(1.0)
                 self.logz_err = None
@@ -803,6 +847,26 @@ class Sampler:
         if save_every is not None:
             self.save_state(self.output_dir / f"{self.output_label}_final.state")
         self.pbar.close()
+
+        # khat-triggered evidence refinement (see __init__ evidence_refine):
+        # k-hat > 0.7 means the preconditioner under-covers the posterior
+        # and no amount of n_evidence rescues the flow-IS estimate; the
+        # productive reaction is MORE beta=1 history (doubled n_total) —
+        # the flow refits on the enriched training set and the evidence
+        # is re-drawn. Extending a finished run is the already-supported
+        # re-entry path (reference sampler.py:375-524 extends the same
+        # way when called again).
+        if (self.n_evidence > 0 and self.preconditioned
+                and self._refine_round < self.evidence_refine
+                and self.evidence_khat is not None
+                and self.evidence_khat > 0.7):
+            self._refine_round += 1
+            try:
+                return self.run(n_total=2 * self.n_total,
+                                n_evidence=self.n_evidence,
+                                progress=progress, save_every=save_every)
+            finally:
+                self._refine_round -= 1
 
     def _run_warmup(self, t0, save_every):
         # traceable path: ONE device program for the whole prior stage
@@ -1075,6 +1139,8 @@ class Sampler:
                     hot=float(statsC[9]) if len(statsC) > 9 else 0.0,
                     z_logl=float(statsC[10]) if len(statsC) > 10 else 0.0,
                     z_dim=float(statsC[11]) if len(statsC) > 11 else 0.0,
+                    nu=float(statsC[12]) if len(statsC) > 12 else 0.0,
+                    misfit=float(statsC[13]) if len(statsC) > 13 else 0.0,
                     sigma=self.proposal_scale))
                 self.pbar.update_stats(dict(
                     beta=beta_h, calls=self.calls, ESS=int(ess_h),
@@ -1512,7 +1578,7 @@ class Sampler:
             self._prog_cache[key] = jax.jit(ev)
         return self._prog_cache[key]
 
-    def _compute_evidence(self, n=5_000):
+    def _compute_evidence(self, n=5_000, warn=True):
         """Flow importance-sampling evidence + bootstrap error
         (reference sampler.py:869-920), hardened with the PSIS k-hat tail
         diagnostic and an optional Pareto-smoothed estimator
@@ -1583,7 +1649,8 @@ class Sampler:
         self.pbar.update_stats(dict(calls=self.calls))
         self.logz = float(logz)
         self.logz_err = dlogz
-        self._warn_evidence_quality(dlogz, khat, self.evidence_method)
+        if warn:
+            self._warn_evidence_quality(dlogz, khat, self.evidence_method)
         return self.logz, self.logz_err
 
     @staticmethod
@@ -1601,17 +1668,20 @@ class Sampler:
                 f"(importance ratios have effectively infinite variance; "
                 f"even Pareto smoothing cannot rescue the estimate, and the "
                 f"quoted logz_err understates the true error). The "
-                f"preconditioner under-covers the posterior -- increase "
-                f"the mutation budget (larger n_steps and/or plateau_z=0; "
-                f"measured on the 25-D funnel this alone cut the error "
-                f"4x), increase n_effective, use a larger flow (e.g. "
-                f"flow='nsf12'), train longer "
-                f"(train_config['patience']), and keep the flow's "
-                f"whitening pre-transform on (Flow(..., whiten=True), the "
-                f"default). If k-hat stays high, prefer the SMC "
-                f"persistent-sampling evidence instead: "
-                f"run(..., n_evidence=0) -- it has no importance-ratio "
-                f"tail.", RuntimeWarning)
+                f"preconditioner under-covers the posterior, and the "
+                f"automatic khat-triggered refinement rounds "
+                f"(evidence_refine) have already been spent. What "
+                f"measurably helps (25-D funnel numbers, RESULTS.md): more "
+                f"refinement rounds (evidence_refine=4), a tighter "
+                f"decorrelation target (corr_threshold=0.15: err -2.2 -> "
+                f"-1.0), a larger flow (flow='nsf12'), larger n_effective, "
+                f"longer training (train_config['patience']), and keeping "
+                f"the whitening pre-transform on (the default). The SMC "
+                f"persistent-sampling evidence (run(..., n_evidence=0)) "
+                f"has no importance-ratio tail and auto-tightens its "
+                f"decorrelation target, but shares the coverage "
+                f"limitation on funnel-type geometries -- treat it as a "
+                f"cross-check, not a rescue.", RuntimeWarning)
         elif khat is not None and khat > 0.5 and method == "is":
             warnings.warn(
                 f"Flow importance-sampling ratios are heavy-tailed "
@@ -1677,7 +1747,7 @@ class Sampler:
                       # older state dicts)
                       "n_steps", "n_max_steps", "plateau_z", "n_leapfrog",
                       "pipeline", "evidence_method", "corr_threshold",
-                      "calib_z")
+                      "calib_z", "_corr_auto", "evidence_refine")
 
     def state_dict(self):
         """Picklable snapshot: history, flow params, scaler/geometry
@@ -1815,7 +1885,10 @@ class Sampler:
                               ("evidence_method_used", None),
                               ("profile_dir", None),
                               ("corr_threshold", 0.5),
-                              ("calib_z", 3.0)):
+                              ("calib_z", 3.0),
+                              ("_corr_auto", False),
+                              ("evidence_refine", 2),
+                              ("_refine_round", 0)):
             self.__dict__.setdefault(attr, default)
         self.pool = None
         self.distribute = map
