@@ -659,10 +659,14 @@ def make_sweep(
             # With the tpcn cap freed above 2.38/sqrt(d), ratio < 1
             # SHRINKS the plateau window below n_steps — correct (near-
             # independent proposals equilibrate in O(1) steps) but floored
-            # at 5 so the consecutive-non-improvement count keeps enough
-            # samples to be a statistic at all.
+            # at 4 so the consecutive-non-improvement count keeps enough
+            # samples to be a statistic at all (4 vs 5 measured on the
+            # quickstart across 5 seeds: calls 60.9k -> 55.3k median at
+            # unchanged logz, with the corr criterion and khat-triggered
+            # refinement backstopping the occasional under-trained flow;
+            # RESULTS.md round 3 defaults campaign).
             thresh = jnp.maximum(n_steps * ratio**2, jnp.minimum(
-                jnp.asarray(n_steps, st.sigma.dtype), 5.0))
+                jnp.asarray(n_steps, st.sigma.dtype), 4.0))
         keep = st.cnt < thresh
         if corr_threshold > 0.0:
             # Adaptive mutation budget: the plateau rule alone stops the
@@ -714,7 +718,7 @@ def make_sweep(
             ratio = sqrt_d_scale / sigma
             if kind == "rwm" and preconditioned:
                 ratio = min(1.0, ratio)
-            thresh = max(n_steps * ratio**2, min(n_steps, 5.0))
+            thresh = max(n_steps * ratio**2, min(n_steps, 4.0))
         thr_eff = corr_threshold
         if kind == "tpcn":
             thr_eff = corr_threshold * min(1.0, sqrt_d_scale / sigma)

@@ -221,7 +221,15 @@ class Sampler:
                 f"n_active ({self.n_active}) must be divisible by the mesh "
                 f"size ({self.mesh.size}) to shard particles evenly.")
         self.n_steps = int(self.n_dim // 2) if n_steps is None else int(n_steps)
-        self.n_max_steps = 10 * self.n_steps if n_max_steps is None else int(n_max_steps)
+        # Sweep cap: 10x the plateau window, but never below 100 — at
+        # low d the 10x rule under-caps exactly the corr-bound curved
+        # regime where steps are cheapest (measured: the 10-D chained
+        # Rosenbrock's transition rungs exit at the old cap of 50 with
+        # start-corr still 0.47-0.60, logZ err -0.80; at a 100-step cap
+        # the same seed reads -0.26; RESULTS.md round 3). High-d caps
+        # are unchanged (d >= 20 already has 10*n_steps >= 100).
+        self.n_max_steps = (max(10 * self.n_steps, 100)
+                            if n_max_steps is None else int(n_max_steps))
         # Plateau-reset significance threshold (in standard errors of the
         # walker mean). 0.0 reproduces the reference's any-record reset
         # (mcmc.py:169-177), whose stationary record statistics pad every
@@ -238,17 +246,26 @@ class Sampler:
         # geometries (funnels) automatically buy more steps, up to
         # n_max_steps. 0 disables (pure plateau rule). See mcmc.py cond.
         #
-        # None = auto: 0.5 normally; tightened to 0.15 when
-        # run(n_evidence=0) selects the SMC persistent-sampling ladder as
-        # the evidence estimator. The ladder compounds per-rung bias
-        # ~ dbeta * corr_exit * Var_beta(dbeta*logl) across every rung
-        # (measured, RESULTS.md round 3 "decorrelation dose-response":
-        # 50-D Gaussian smcZ err +2.17 at corr_exit~0.2 -> +0.46 at
-        # corr_exit~0.06), so ladder-grade stage populations must carry
-        # ~no start memory; the flow-IS estimator (n_evidence > 0) never
-        # touches the ladder and keeps the cheap target.
+        # None = auto, resolved by DIMENSION: 0.5 * min(1, (10/d)^2),
+        # floored at 0.02. The default mutation budget must scale with d
+        # for the same reason the reference's plateau window does
+        # (n_steps = d//2, mcmc.py:175): in higher dimension the beta
+        # ladder is longer (more rungs compounding per-rung bias
+        # ~ dbeta * corr_exit * Var_beta(dbeta*logl)) and the flow's
+        # coverage risk grows, while at d ~ 10 the plateau rule already
+        # reaches reference accuracy at reference cost. Calibrated on the
+        # north-star suite (RESULTS.md round 3 "decorrelation
+        # dose-response"): d=10 quickstart stays at the reference call
+        # count; d=25 funnel err -2.19 -> -0.81; d=50 Gaussian SMC-ladder
+        # evidence +2.17 -> +0.00.
+        #
+        # run(n_evidence=0) additionally caps the target at 0.15
+        # (ladder-grade): there the SMC persistent-sampling ladder IS the
+        # evidence estimator; the flow-IS estimator (n_evidence > 0)
+        # never touches the ladder.
         self._corr_auto = corr_threshold is None
-        _ct = 0.5 if corr_threshold is None else float(corr_threshold)
+        _ct = (self._corr_auto_value()
+               if corr_threshold is None else float(corr_threshold))
         if not 0.0 <= _ct < 1.0:
             raise ValueError(
                 f"Invalid corr_threshold {corr_threshold!r}: must be in "
@@ -454,6 +471,16 @@ class Sampler:
     # ------------------------------------------------------------------
     # device program construction
     # ------------------------------------------------------------------
+
+    def _corr_auto_value(self, n_evidence=None):
+        """Auto decorrelation target: 0.5 * min(1, (10/d)^2), floored at
+        0.02 (see the __init__ corr_threshold rationale); capped at 0.15
+        (ladder-grade) when run(n_evidence=0) makes the SMC
+        persistent-sampling ladder the evidence estimator."""
+        base = min(0.5, max(0.02, 0.5 * (10.0 / self.n_dim) ** 2))
+        if n_evidence == 0:
+            base = min(base, 0.15)
+        return base
 
     def _build_device_fns(self):
         n = self.n_active
@@ -766,7 +793,7 @@ class Sampler:
             # The engine programs bake corr_threshold into their traces
             # (_engine_key), so a change must re-fetch them — without the
             # rebuild the new target silently never takes effect.
-            _ct = 0.15 if self.n_evidence == 0 else 0.5
+            _ct = self._corr_auto_value(self.n_evidence)
             if _ct != self.corr_threshold:
                 self.corr_threshold = _ct
                 self._build_device_fns()
