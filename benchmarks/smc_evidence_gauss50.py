@@ -79,12 +79,19 @@ def analyze(logl, beta, logz_stored, expect, oracle=None, resid=None):
             ("incremental", final_mis(logl, beta, inc)),
             ("split-half", final_mis(logl[:, h:], beta, sc_a))]
     if resid is not None:
-        # residual-hotness corrected ladder: each rung's first-order bias
-        # is dbeta_t * hot_t where hot_t is the stage population's
-        # remaining mean-logl relaxation, estimated in-run by the sweep's
-        # paired-window extrapolation (mcmc.py accept_update `resid`)
+        # residual-hotness corrected ladder: rung t's first-order bias is
+        # +dbeta_t * hot_{t-1} where hot = -resid is the LATEST stage's
+        # (stage t-1 at reweight time, matching the engine's resid_prev
+        # plumbing) unfinished mean-logl relaxation, estimated in-run by
+        # the sweep's paired-window extrapolation (mcmc.py accept_update
+        # `resid`, negative while hot). Correction = +dbeta * resid_prev.
+        # applied to the RAW self-consistent ladder (the stored ladder
+        # already carries the in-run correction — adding it again would
+        # double-count); unconditional, like the engine (hot-gating
+        # measured and rejected, RESULTS.md)
         dbeta = np.diff(beta, prepend=0.0)
-        corr_ladder = logz_stored - np.cumsum(dbeta * resid)
+        resid_prev = np.concatenate([[0.0], resid[:-1]])
+        corr_ladder = sc + np.cumsum(dbeta * resid_prev)
         rows.append(("resid-corrected",
                      final_mis(logl, beta, corr_ladder)))
         if oracle is not None:
@@ -176,15 +183,17 @@ def main(corr_threshold=0.5):
         nc - 0.5 * np.trace(cov_inv @ np.linalg.inv(
             np.eye(d) / ps**2 + beta[t] * cov_inv))) for t in range(T)])
     resid = np.asarray(s.particles.get("resid"), dtype=np.float64)
-    print("stage:   resid(est)  hot(oracle)   [nats]")
+    hot_flag = np.asarray(s.particles.get("hot"), dtype=np.float64)
+    print("stage:   resid(est)  hot(oracle)  exit-hot   [nats]")
     for t in [1, 5, 10, 20, 30, 40, 50, 60, T - 1]:
-        print(f"{t:4d}  {resid[t]:+11.3f}  {hot_nats[t]:+11.3f}")
+        print(f"{t:4d}  {resid[t]:+11.3f}  {hot_nats[t]:+11.3f}  "
+              f"{hot_flag[t]:8.0f}")
 
     import os
     os.makedirs(".round3", exist_ok=True)
     np.savez(".round3/gauss50_hist.npz", logl=logl64, beta=beta,
              logz=logz_stored, oracle=oracle, expect=expect,
-             resid=resid, hot=hot_nats)
+             resid=resid, hot=hot_nats, hot_flag=hot_flag)
     analyze(logl64, beta, logz_stored, expect, oracle, resid=resid)
 
 

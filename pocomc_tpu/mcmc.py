@@ -611,9 +611,11 @@ def make_sweep(
             # correction (ops/weights.py): if the window-scale memory is
             # rho_w = corr(logl_snap, logl_now), a geometric relaxation
             # still has D * rho_w/(1-rho_w) of mean-logl drift left to
-            # go. Recorded per stage and subtracted (times dbeta) from
-            # the logz rung — whatever bias the adaptive budget could not
-            # afford to mutate away, the estimator removes. Clipped to
+            # go (NEGATIVE while a selection-hot stage relaxes downward:
+            # resid = -hotness). Recorded per stage and ADDED (times
+            # dbeta) to the next logz rung — whatever upward bias the
+            # adaptive budget could not afford to mutate away, the
+            # estimator removes. Clipped to
             # rho_w <= 0.9: beyond that the extrapolation is off the end
             # of its own data (and the drift test is still firing anyway).
             l0c = jnp.where(ok, st.logl_snap, 0.0)

@@ -90,8 +90,26 @@ def _fit_geometry_impl(theta, weights, key):
         pts = theta[idx]
         t_mean, t_cov, t_nu = fit_mvstud(pts)
     t_nu = jnp.where(jnp.isfinite(t_nu), t_nu, 1e6)
-    # Ledoit-Wolf shrinkage of both proposal covariances (see _lw_lambda)
-    lam_t = _lw_lambda(pts, t_mean, t_cov)
+    # Ledoit-Wolf shrinkage of both proposal covariances (see _lw_lambda).
+    # The t intensity is computed on the EM-WEIGHTED residuals: the EM
+    # scale is Sigma = (1/n) sum_k w_k xc_k xc_k^T with
+    # w = (nu+d)/(nu+delta), so y = sqrt(w) * xc has sample second moment
+    # exactly Sigma and the LW fourth-moment noise estimate is consistent
+    # with the estimator being shrunk. Feeding the RAW points would
+    # kurtosis-inflate the noise term b2 on genuinely heavy-tailed fits
+    # (nu ~ 3-6, where E[xx^T] = nu/(nu-2) * Sigma != Sigma), saturating
+    # lam_t and collapsing an anisotropic t scale toward identity on
+    # exactly the targets the t geometry exists for. nu -> 1e6 gives
+    # w -> 1 (the plain Gaussian intensity).
+    d = pts.shape[1]
+    xc_t = pts - t_mean
+    eps_t = 1e-12 * jnp.trace(t_cov) / d
+    chol_t = jnp.linalg.cholesky(
+        t_cov + eps_t * jnp.eye(d, dtype=t_cov.dtype))
+    yt = jax.scipy.linalg.solve_triangular(chol_t, xc_t.T, lower=True)
+    delta_t = jnp.sum(yt * yt, axis=0)
+    w_em = (t_nu + d) / (t_nu + delta_t)
+    lam_t = _lw_lambda(jnp.sqrt(w_em)[:, None] * xc_t, 0.0, t_cov)
     t_cov = _lw_shrink(t_cov, lam_t)
     lam_n = _lw_lambda(pts, normal_mean, normal_cov)
     normal_cov = _lw_shrink(normal_cov, lam_n)

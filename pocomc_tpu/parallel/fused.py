@@ -197,14 +197,19 @@ def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
         # reference keeps the previous running logZ when beta stalls
         # (sampler.py:752-757 + the host loop's logz carry-over).
         # Moving rungs get the residual-hotness correction: the latest
-        # stage population is hot by ~resid_prev nats (the sweep's own
-        # paired-window extrapolation, mcmc.py accept_update), and since
-        # dlogZ/dbeta = E_beta[logl] the rung inherits dbeta * resid of
-        # bias (measured = 96% of the gauss50 ladder drift; RESULTS.md
-        # round 3). Corrected values are STORED so later rungs, MIS
+        # stage population is hot by ~(-resid_prev) nats (resid is the
+        # sweep's paired-window extrapolation of the REMAINING mean-logl
+        # drift, mcmc.py accept_update — negative while a selection-hot
+        # population still relaxes downward), and since dlogZ/dbeta =
+        # E_beta[logl] the rung inherits dbeta * hotness of UPWARD bias
+        # (measured = 96% of the gauss50 ladder drift; RESULTS.md
+        # round 3). Subtracting dbeta * hotness = ADDING dbeta * resid
+        # (sign verified against the closed-form gauss50 oracle:
+        # benchmarks/smc_evidence_gauss50.py prints resid vs oracle hot
+        # per stage). Corrected values are STORED so later rungs, MIS
         # weights, and beta selection stay self-consistent.
         logz = jnp.where(beta == beta_prev, logz_prev,
-                         logz_new - (beta - beta_prev) * resid_prev)
+                         logz_new + (beta - beta_prev) * resid_prev)
 
         # dynamic n_effective (reference sampler.py:783-790); int() = trunc
         nu_active = uss_jax(w, n_active)

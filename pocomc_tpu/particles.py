@@ -19,7 +19,7 @@ from .ops.weights import compute_logw_and_logz as _logw_logz
 
 _KEYS = ("u", "x", "logdetj", "logl", "logp", "logw", "blobs", "iter",
          "logz", "calls", "steps", "efficiency", "ess", "accept", "beta",
-         "resid")
+         "resid", "hot")
 
 
 class Particles:

@@ -239,8 +239,11 @@ class Sampler:
         # mcmc.py accept_update.
         self.plateau_z = float(plateau_z)
         # Adaptive mutation budget (beyond reference): a sweep may stop
-        # only once the mean |per-dim correlation| between its start and
-        # current positions has fallen below this threshold — i.e. the
+        # only once the MAX over dims of |corr(start, now)| has fallen
+        # below this threshold (max, not mean: averaging dilutes a
+        # funnel's single pathological dimension; the max statistic's
+        # null level is ~sqrt(2 ln d / n), see mcmc._batch_corr) — i.e.
+        # the
         # resampled duplicates have measurably decorrelated. Easy targets
         # decorrelate within the plateau window (no extra cost); curved
         # geometries (funnels) automatically buy more steps, up to
@@ -859,11 +862,13 @@ class Sampler:
 
             if self.n_evidence > 0 and self.preconditioned:
                 with self._trace("pocomc/evidence"):
-                    # suppress the k-hat warning while a refinement round
-                    # can still react to it; the final round warns
-                    may_refine = self._refine_round < self.evidence_refine
-                    self._compute_evidence(self.n_evidence,
-                                           warn=not may_refine)
+                    # warnings are deferred until the refinement decision
+                    # below: a khat > 0.7 that triggers a refinement round
+                    # must not warn (the framework is reacting), but every
+                    # OTHER advisory (khat in (0.5, 0.7] under an explicit
+                    # method='is', large bootstrap dlogz) must still fire
+                    # on runs that never refine
+                    self._compute_evidence(self.n_evidence, warn=False)
             else:
                 _, self.logz = self.particles.compute_logw_and_logz(1.0)
                 self.logz_err = None
@@ -894,6 +899,12 @@ class Sampler:
                                 progress=progress, save_every=save_every)
             finally:
                 self._refine_round -= 1
+
+        # no refinement happened (khat fine, or rounds spent): emit the
+        # deferred evidence-quality advisories now
+        if self.n_evidence > 0 and self.preconditioned:
+            self._warn_evidence_quality(self.logz_err, self.evidence_khat,
+                                        self.evidence_method)
 
     def _run_warmup(self, t0, save_every):
         # traceable path: ONE device program for the whole prior stage
@@ -968,7 +979,7 @@ class Sampler:
                 logw=-1e300 * np.ones(self.n_active), blobs=blobs,
                 iter=self.t, calls=self.calls, steps=1, efficiency=1.0,
                 ess=self.n_effective, accept=1.0, beta=0.0, logz=0.0,
-                resid=0.0)
+                resid=0.0, hot=0.0)
             self.particles.update(self.current_particles)
             self.pbar.update_stats(dict(calls=self.calls, beta=0.0,
                                         ESS=int(self.n_effective), logZ=0.0,
@@ -1232,6 +1243,12 @@ class Sampler:
                                          self._seed32(), self._scp(),
                                          outA["terminated"])
                 self._hist_dev = hist
+                # UNCONDITIONAL: gating this on the exit hot flag was
+                # measured and rejected (RESULTS.md round 3 "hot-gating
+                # postmortem") — sub-threshold exit resid carries real
+                # residual relaxation, not just noise (funnel25 flow-IS
+                # −0.25 ungated vs −0.96 gated; quickstart calls
+                # 57.3k vs 59.9k).
                 self._resid_dev = statsC[8]
                 self._slot_count += 1
                 pending.append(dict(statsA=outA["stats"], statsC=statsC,
@@ -1316,18 +1333,22 @@ class Sampler:
         elif self.calib_z > 0.0:
             # Residual-hotness ladder correction: the rung estimate is
             # dominated by the latest stage's population, which is hot by
-            # ~resid nats (the sweep's own paired-window extrapolation of
-            # its unfinished relaxation, mcmc.py accept_update). Since
-            # dlogZ/dbeta = E_beta[logl], the rung inherits dbeta * resid
-            # of bias — measured on the 50-D cond-1e3 Gaussian (closed-
-            # form tempered logz at every rung): drift = sum(dbeta*hot)
-            # to 4%, RESULTS.md round 3. Subtracting the measured
-            # estimate removes whatever bias the adaptive mutation budget
-            # could not afford to sweep away. The corrected value is
-            # STORED, so later rungs, MIS weights, and beta selection
-            # stay self-consistent (the oracle-ladder experiment shows
-            # correct rungs make the final MIS estimate exact).
-            logz -= (beta - beta_prev) * self.particles.get(
+            # ~(-resid) nats (resid = extrapolated REMAINING mean-logl
+            # drift, mcmc.py accept_update — negative while a selection-
+            # hot population still relaxes downward). Since dlogZ/dbeta =
+            # E_beta[logl], the rung inherits dbeta * hotness of upward
+            # bias — measured on the 50-D cond-1e3 Gaussian (closed-form
+            # tempered logz at every rung): drift = sum(dbeta*hot) to 4%,
+            # RESULTS.md round 3. Subtracting dbeta * hotness = ADDING
+            # dbeta * resid (sign verified per stage against the gauss50
+            # oracle, benchmarks/smc_evidence_gauss50.py) removes
+            # whatever bias the adaptive mutation budget could not afford
+            # to sweep away. The corrected value is STORED, so later
+            # rungs, MIS weights, and beta selection stay self-consistent
+            # (the oracle-ladder experiment shows correct rungs make the
+            # final MIS estimate exact). UNCONDITIONAL: hot-gating was
+            # measured and rejected (RESULTS.md "hot-gating postmortem").
+            logz += (beta - beta_prev) * self.particles.get(
                 "resid", index=-1)
         self.pbar.update_stats(dict(beta=beta, ESS=int(ess_est), logZ=logz))
 
@@ -1551,8 +1572,10 @@ class Sampler:
         current_particles["calls"] = self.calls + int(results["calls"])
         current_particles["iter"] = self.t
         # residual-hotness estimate for the evidence-ladder bias
-        # correction (mcmc.py accept_update, ops/weights.py)
+        # correction (mcmc.py accept_update, ops/weights.py) + the exit
+        # hot flag that gates its application (_reweight)
         current_particles["resid"] = float(results.get("resid", 0.0))
+        current_particles["hot"] = float(results.get("hot", 0.0))
         self.calls = current_particles["calls"]
         self.proposal_scale = float(results["proposal_scale"])
 
@@ -1817,10 +1840,13 @@ class Sampler:
         if rebuild:
             self._build_device_fns()
         self.particles.past = state["particles_past"]
-        # states written before the residual-hotness key existed: pad the
-        # (new) per-stage resid list so columns stay index-aligned
+        # states written before the residual-hotness keys existed: pad
+        # the (new) per-stage resid/hot lists so columns stay
+        # index-aligned
         self.particles.past.setdefault(
             "resid", [0.0] * len(self.particles.past["beta"]))
+        self.particles.past.setdefault(
+            "hot", [0.0] * len(self.particles.past["beta"]))
         self.particles.results_dict = None
         # invalidate device-loop caches tied to the previous run
         self._geom_dev = None

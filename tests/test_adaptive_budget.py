@@ -121,8 +121,11 @@ def test_drift_criterion_quiet_at_equilibrium():
 
 
 def test_reweight_ladder_residual_correction():
-    """Phase A subtracts dbeta * resid_prev from a MOVING rung and
-    leaves a stalled rung alone (the carry rule)."""
+    """Phase A ADDS dbeta * resid_prev to a MOVING rung (resid is the
+    extrapolated remaining mean-logl drift = MINUS the stage hotness, so
+    a hot stage's negative resid LOWERS the upward-biased rung; sign
+    verified against the closed-form gauss50 oracle, RESULTS.md round 3)
+    and leaves a stalled rung alone (the carry rule)."""
     from pocomc_tpu.parallel import fused
 
     n, d, t_max = 64, 2, 4
@@ -135,12 +138,14 @@ def test_reweight_ladder_residual_correction():
                                     np.zeros((1, n)), beta, logz, t_max)
     progA = fused.make_reweight_program(n, n)
     out0 = progA(hist, jnp.float32(n // 2), jnp.float32(1e9))
+    # a hot stage reports NEGATIVE resid; the corrected rung must be LOWER
     out1 = progA(hist, jnp.float32(n // 2), jnp.float32(1e9),
-                 jnp.float32(2.0))
+                 jnp.float32(-2.0))
     db = float(out0["beta"]) - 0.0
     assert db > 0.0
     assert float(out1["logz"]) == pytest.approx(
         float(out0["logz"]) - db * 2.0, abs=1e-5)
+    assert float(out1["logz"]) < float(out0["logz"])
 
 
 def test_corr_threshold_validation():
@@ -365,3 +370,56 @@ def test_khat_triggered_evidence_refinement(monkeypatch):
     # the refinement really added beta=1 rungs
     assert s.particles.get("beta", index=-1) == 1.0
     assert t_first == s.t and s.t > 0
+
+
+def test_hot_flag_stored_per_stage():
+    """Every history stage must carry the exit-hot flag (a stored
+    diagnostic column; a missing entry would silently misalign the
+    per-stage columns)."""
+    prior = Prior([Normal(0, 5), Normal(0, 5)])
+
+    def like(x):
+        return -0.5 * jnp.sum(x**2, axis=-1) - jnp.log(2 * jnp.pi)
+
+    s = pc.Sampler(prior, like, vectorize=True, random_state=0,
+                   n_effective=256, n_active=128, flow="nsf3",
+                   train_config={"epochs": 10, "patience": 3})
+    s.run(n_total=512, n_evidence=0, progress=False)
+    n_stages = len(s.particles.past["beta"])
+    assert len(s.particles.past["hot"]) == n_stages
+    assert len(s.particles.past["resid"]) == n_stages
+
+
+def test_moderate_tail_advisory_fires_despite_unused_refine_rounds(
+        monkeypatch):
+    """Regression (review round 3): khat in (0.5, 0.7] under an explicit
+    evidence_method='is' never triggers refinement (threshold is 0.7),
+    so the heavy-tail advisory must STILL fire even while refinement
+    rounds remain unspent — warn=not may_refine used to silence it."""
+    import warnings as _w
+
+    prior = Prior([Normal(0, 5), Normal(0, 5)])
+
+    def like(x):
+        return -0.5 * jnp.sum(x**2, axis=-1) - jnp.log(2 * jnp.pi)
+
+    s = pc.Sampler(prior, like, vectorize=True, random_state=0,
+                   n_effective=256, n_active=128, flow="nsf3",
+                   evidence_method="is", evidence_refine=2,
+                   train_config={"epochs": 10, "patience": 3})
+
+    calls = {"n": 0}
+    orig = pc.Sampler._compute_evidence
+
+    def fake(self, n=5000, warn=True):
+        calls["n"] += 1
+        orig(self, n, warn=warn)
+        self.evidence_khat = 0.6   # moderate tail: below refine trigger
+
+    monkeypatch.setattr(pc.Sampler, "_compute_evidence", fake)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        s.run(n_total=256, n_evidence=256, progress=False)
+    assert calls["n"] == 1          # no refinement happened
+    advisories = [w for w in rec if "heavy-tailed" in str(w.message)]
+    assert len(advisories) == 1    # ...so the advisory must fire
