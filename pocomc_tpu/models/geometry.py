@@ -100,7 +100,12 @@ def _fit_geometry_impl(theta, weights, key):
     # (nu ~ 3-6, where E[xx^T] = nu/(nu-2) * Sigma != Sigma), saturating
     # lam_t and collapsing an anisotropic t scale toward identity on
     # exactly the targets the t geometry exists for. nu -> 1e6 gives
-    # w -> 1 (the plain Gaussian intensity).
+    # w -> 1 (the plain Gaussian intensity). The weights are recomputed
+    # post-hoc at the FINAL (mu, Sigma, nu) rather than returned by
+    # fit_mvstud (whose (mu, Sigma, nu) return is reference parity,
+    # SURVEY §2.7): at the EM fixed point the two coincide, and the
+    # extra d x d cholesky + one triangular solve is negligible next to
+    # the EM's own per-iteration cost.
     d = pts.shape[1]
     xc_t = pts - t_mean
     eps_t = 1e-12 * jnp.trace(t_cov) / d

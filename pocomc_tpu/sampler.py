@@ -1573,7 +1573,8 @@ class Sampler:
         current_particles["iter"] = self.t
         # residual-hotness estimate for the evidence-ladder bias
         # correction (mcmc.py accept_update, ops/weights.py) + the exit
-        # hot flag that gates its application (_reweight)
+        # hot flag (stored diagnostic only — gating the correction on it
+        # was measured and rejected, RESULTS.md "hot-gating postmortem")
         current_particles["resid"] = float(results.get("resid", 0.0))
         current_particles["hot"] = float(results.get("hot", 0.0))
         self.calls = current_particles["calls"]
