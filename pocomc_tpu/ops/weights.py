@@ -79,6 +79,11 @@ def trim_weights(weights: np.ndarray, ess: float = 0.99, bins: int = 1000):
     """
     w = np.asarray(weights, dtype=np.float64)
     s = w.sum()
+    if s <= 0 or not np.isfinite(s):
+        raise ValueError(
+            "trim_weights requires a positive, finite total weight "
+            f"(got sum={s!r}); the sibling ESS/USS helpers return 0.0 "
+            "for such inputs but a trim threshold is undefined.")
     w = w / s
     n = len(w)
     ess_total = 1.0 / np.sum(w * w)
@@ -152,9 +157,10 @@ def compute_logw_and_logz(
     logw = (A - B).reshape(-1)
     total = logw.size
     mx = np.max(logw)
-    logz_new = mx + np.log(np.sum(np.exp(logw - mx))) - np.log(total)
+    se = mx + np.log(np.sum(np.exp(logw - mx)))
+    logz_new = se - np.log(total)
     if normalize:
-        logw = logw - (mx + np.log(np.sum(np.exp(logw - mx))))
+        logw = logw - se
     return logw, float(logz_new)
 
 
@@ -175,9 +181,26 @@ def bisect_beta(
 
     Returns (beta, logw_normalized, metric_value, logz).
     """
+    # The balance-heuristic mixture denominator B (see
+    # compute_logw_and_logz) does not depend on the trial beta — hoist
+    # it out of the bisection so each trial is a cheap O(T*n) reweight
+    # instead of rebuilding the O(T^2 * n) component tensor (~20-30
+    # trials per _reweight on the single host core otherwise).
+    logl = np.asarray(logl_hist, dtype=np.float64)
+    beta_h = np.asarray(beta_hist, dtype=np.float64).reshape(-1, 1)
+    logz_h = np.asarray(logz_hist, dtype=np.float64).reshape(-1, 1)
+    b = logl[None, :, :] * beta_h[:, None, :] - logz_h[:, None, :]
+    m = np.max(b, axis=0)
+    B_flat = (m + np.log(np.mean(np.exp(b - m), axis=0))).reshape(-1)
+    logl_flat = logl.reshape(-1)
+    total = logl_flat.size
 
     def metric_at(beta):
-        logw, logz = compute_logw_and_logz(logl_hist, beta_hist, logz_hist, beta)
+        logw = float(beta) * logl_flat - B_flat
+        mx = np.max(logw)
+        se = mx + np.log(np.sum(np.exp(logw - mx)))
+        logz = float(se - np.log(total))
+        logw = logw - se  # normalized, as compute_logw_and_logz returns
         w = np.exp(logw - np.max(logw))
         if metric == "ess":
             val = effective_sample_size(w)
@@ -216,11 +239,14 @@ def ess_jax(weights: jnp.ndarray) -> jnp.ndarray:
     return 1.0 / jnp.sum(w * w)
 
 
-def uss_jax(weights: jnp.ndarray, k=None) -> jnp.ndarray:
+def uss_jax(weights: jnp.ndarray, k) -> jnp.ndarray:
     """Expected unique count after a k-sized multinomial draw; `k` may be a
-    traced scalar (device mirror of unique_sample_size)."""
-    if k is None:
-        k = weights.shape[0]
+    traced scalar (device mirror of unique_sample_size).
+
+    `k` is REQUIRED: device callers hold fixed-shape PADDED weight
+    vectors, so a length-derived default would count the padding slots
+    and overestimate the unique count (unlike the host mirror, where
+    len(w) is the true particle count)."""
     w = weights / jnp.sum(weights)
     return jnp.sum(1.0 - (1.0 - w) ** k)
 

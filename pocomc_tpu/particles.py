@@ -37,6 +37,11 @@ class Particles:
                 self.past[key].append(value)
 
     def pop(self, key):
+        """Drop the newest stored value of ONE key (reference parity:
+        particles.py:150-164, which likewise discards the value). The
+        caller is responsible for popping every per-iteration key it
+        wants rolled back — popping a single key leaves the other
+        columns one entry longer."""
         self.past[key].pop()
 
     def get(self, key, index=None, flat=False):

@@ -46,6 +46,14 @@ class TestESS:
 
 
 class TestTrim:
+    def test_degenerate_total_weight_raises(self):
+        # all-zero / non-finite totals have no defined trim threshold;
+        # must fail loudly instead of NaN-cascading through percentile
+        with pytest.raises(ValueError, match="positive, finite"):
+            trim_weights(np.zeros(100))
+        with pytest.raises(ValueError, match="positive, finite"):
+            trim_weights(np.array([1.0, np.nan, 2.0]))
+
     def test_keeps_ess_fraction(self):
         rng = np.random.default_rng(1)
         w = rng.pareto(1.0, size=2000) + 1e-12
@@ -119,6 +127,19 @@ class TestBisectBeta:
         b, logw, ess, lz = bisect_beta(logl, np.array([0.0]), np.array([0.0]),
                                        0.0, 64.0)
         assert b == 1.0
+
+    def test_hoisted_denominator_matches_direct_reweight(self):
+        """bisect_beta precomputes the beta-independent MIS denominator;
+        its per-trial (logw, logz) must equal a direct
+        compute_logw_and_logz call at the selected beta."""
+        rng = np.random.default_rng(11)
+        logl = rng.normal(-30, 5, size=(4, 96))
+        beta = np.array([0.0, 0.05, 0.21, 0.6])
+        logz = np.array([0.0, -1.2, -3.4, -8.0])
+        b, logw, ess, lz = bisect_beta(logl, beta, logz, 0.6, 48.0)
+        logw_ref, lz_ref = compute_logw_and_logz(logl, beta, logz, b)
+        np.testing.assert_allclose(logw, logw_ref, rtol=1e-12, atol=1e-12)
+        assert lz == pytest.approx(lz_ref, rel=1e-12)
 
 
 class TestResampling:
