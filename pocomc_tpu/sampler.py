@@ -265,7 +265,10 @@ class Sampler:
         # run(n_evidence=0) additionally caps the target at 0.15
         # (ladder-grade): there the SMC persistent-sampling ladder IS the
         # evidence estimator; the flow-IS estimator (n_evidence > 0)
-        # never touches the ladder.
+        # never touches the ladder. Black-box likelihoods floor the auto
+        # target at 0.15 instead of 0.02 — cost-aware, see
+        # _corr_auto_value (resolved in _build_device_fns once
+        # traceability is known).
         self._corr_auto = corr_threshold is None
         _ct = (self._corr_auto_value()
                if corr_threshold is None else float(corr_threshold))
@@ -479,10 +482,26 @@ class Sampler:
         """Auto decorrelation target: 0.5 * min(1, (10/d)^2), floored at
         0.02 (see the __init__ corr_threshold rationale); capped at 0.15
         (ladder-grade) when run(n_evidence=0) makes the SMC
-        persistent-sampling ladder the evidence estimator."""
+        persistent-sampling ladder the evidence estimator.
+
+        Cost-aware floor: black-box likelihoods (host callbacks, pools,
+        blobs — anything non-traceable) pay host work per call, so the
+        aggressive high-d target (0.02 at d=50 costs ~37M calls on the
+        gauss50 north star, vs the reference's ~1.7M) would turn an
+        expensive likelihood into a multi-hour run for accuracy the user
+        may not need. There the auto target floors at 0.15 instead:
+        reference-parity accuracy at reference-scale call budgets
+        (funnel25 err -0.99 = the reference's own reading, ~945k calls
+        vs its 990k; gauss50 SMC-ladder +0.46, within the round-2 gate).
+        Fused device likelihoods keep the full d-scaled target — there
+        the extra calls are nearly free (RESULTS.md round 3). Explicit
+        corr_threshold values always win over auto.
+        """
         base = min(0.5, max(0.02, 0.5 * (10.0 / self.n_dim) ** 2))
         if n_evidence == 0:
             base = min(base, 0.15)
+        if not getattr(self, "likelihood_traceable", True):
+            base = max(base, 0.15)
         return base
 
     def _build_device_fns(self):
@@ -501,6 +520,12 @@ class Sampler:
         else:
             self._like_batch_fn = None
         self.likelihood_traceable = like_traceable
+        if getattr(self, "_corr_auto", False):
+            # Cost-aware re-resolution: whether the likelihood traces (=
+            # calls are nearly free on device) is only known here, after
+            # the probe above. Must happen before the programs below are
+            # built/fetched — corr_threshold is baked into their traces.
+            self.corr_threshold = self._corr_auto_value(self.n_evidence)
 
         if self.sample in ("mala", "hmc") and not like_traceable:
             raise ValueError(
@@ -1595,7 +1620,11 @@ class Sampler:
     # ------------------------------------------------------------------
 
     def evidence(self):
-        """(logz, logz_err)."""
+        """(logz, logz_err). logz_err is None when the flow-IS evidence
+        was not drawn (run(n_evidence=0) / precondition=False): there
+        logz is the SMC persistent-sampling estimate, which has no
+        bootstrap error bar — reference behavior (sampler.py:863-867,
+        logz_err stays unset outside _compute_evidence)."""
         return self.logz, self.logz_err
 
     def _evidence_program(self, n):

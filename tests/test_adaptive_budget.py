@@ -325,6 +325,38 @@ def test_corr_threshold_auto_by_evidence_mode():
     assert s2.corr_threshold == 0.3
 
 
+def test_corr_threshold_auto_cost_aware_for_black_box():
+    """corr_threshold=None is cost-aware: black-box likelihoods (host
+    callbacks — every call costs host wall-clock) floor the d-scaled
+    auto target at 0.15 (reference-parity accuracy at reference-scale
+    call budgets) instead of the aggressive 0.02 that fused device
+    likelihoods can afford (at d=50 that target costs ~37M nearly-free
+    device calls; through a host callback it would be a multi-hour
+    run). Explicit values always win."""
+    d = 25
+    prior = Prior([Normal(0, 5) for _ in range(d)])
+
+    def like_np(x):
+        x = np.asarray(x)          # host-only: cannot trace
+        return -0.5 * float(np.sum(x * x))
+
+    s = pc.Sampler(prior, like_np, flow="maf3")
+    assert s._corr_auto and not s.likelihood_traceable
+    assert s.corr_threshold == 0.15            # floored, not 0.5*(10/25)^2
+
+    def like_jax(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    s2 = pc.Sampler(prior, like_jax, vectorize=True, flow="maf3")
+    assert s2.likelihood_traceable
+    assert s2.corr_threshold == pytest.approx(0.5 * (10.0 / d) ** 2)
+
+    # explicit value wins over the cost-aware floor
+    s3 = pc.Sampler(prior, like_np, flow="maf3", corr_threshold=0.02)
+    assert not s3._corr_auto
+    assert s3.corr_threshold == 0.02
+
+
 def test_khat_triggered_evidence_refinement(monkeypatch):
     """k-hat > 0.7 after the evidence draw must extend the run (n_total
     doubles, new beta=1 rungs land in the history) and re-draw the
