@@ -1754,7 +1754,9 @@ class Sampler:
                 f"measurably helps (25-D funnel numbers, RESULTS.md): more "
                 f"refinement rounds (evidence_refine=4), a tighter "
                 f"decorrelation target (corr_threshold=0.15: err -2.2 -> "
-                f"-1.0), a larger flow (flow='nsf12'), larger n_effective, "
+                f"-1.0; black-box runs already default to 0.15 -- go "
+                f"lower, e.g. 0.05, at proportional call cost), a larger "
+                f"flow (flow='nsf12'), larger n_effective, "
                 f"longer training (train_config['patience']), and keeping "
                 f"the whitening pre-transform on (the default). The SMC "
                 f"persistent-sampling evidence (run(..., n_evidence=0)) "
