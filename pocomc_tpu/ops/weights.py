@@ -164,6 +164,32 @@ def compute_logw_and_logz(
     return logw, float(logz_new)
 
 
+def logw_from_mis_denominator(
+    logl_flat: np.ndarray,
+    B_flat: np.ndarray,
+    beta_final: float,
+    normalize: bool = True,
+):
+    """compute_logw_and_logz given a precomputed mixture denominator.
+
+    `B_flat` is the balance-heuristic denominator per flattened history
+    particle, INCLUDING the -log T mixture normalization (i.e. exactly the
+    `B` of compute_logw_and_logz, flattened). Callers with an incrementally
+    maintained denominator (Particles.mis_denominator) use this to skip the
+    O(T^2 * n) component-tensor rebuild.
+    """
+    logl_flat = np.asarray(logl_flat, dtype=np.float64)
+    B_flat = np.asarray(B_flat, dtype=np.float64)
+    logw = float(beta_final) * logl_flat - B_flat
+    total = logw.size
+    mx = np.max(logw)
+    se = mx + np.log(np.sum(np.exp(logw - mx)))
+    logz_new = se - np.log(total)
+    if normalize:
+        logw = logw - se
+    return logw, float(logz_new)
+
+
 def bisect_beta(
     logl_hist: np.ndarray,
     beta_hist: np.ndarray,
@@ -172,6 +198,7 @@ def bisect_beta(
     n_effective: float,
     metric: str = "ess",
     tol_frac: float = 0.01,
+    B_flat: np.ndarray | None = None,
 ):
     """Choose the next inverse temperature by ESS/USS bisection.
 
@@ -185,15 +212,25 @@ def bisect_beta(
     # compute_logw_and_logz) does not depend on the trial beta — hoist
     # it out of the bisection so each trial is a cheap O(T*n) reweight
     # instead of rebuilding the O(T^2 * n) component tensor (~20-30
-    # trials per _reweight on the single host core otherwise).
+    # trials per _reweight on the single host core otherwise). Callers
+    # that maintain the denominator incrementally across iterations
+    # (Particles.mis_denominator) pass it via `B_flat` (with the -log T
+    # mixture normalization included) and skip even the one-time build.
     logl = np.asarray(logl_hist, dtype=np.float64)
-    beta_h = np.asarray(beta_hist, dtype=np.float64).reshape(-1, 1)
-    logz_h = np.asarray(logz_hist, dtype=np.float64).reshape(-1, 1)
-    b = logl[None, :, :] * beta_h[:, None, :] - logz_h[:, None, :]
-    m = np.max(b, axis=0)
-    B_flat = (m + np.log(np.mean(np.exp(b - m), axis=0))).reshape(-1)
     logl_flat = logl.reshape(-1)
     total = logl_flat.size
+    if B_flat is None:
+        beta_h = np.asarray(beta_hist, dtype=np.float64).reshape(-1, 1)
+        logz_h = np.asarray(logz_hist, dtype=np.float64).reshape(-1, 1)
+        b = logl[None, :, :] * beta_h[:, None, :] - logz_h[:, None, :]
+        m = np.max(b, axis=0)
+        B_flat = (m + np.log(np.mean(np.exp(b - m), axis=0))).reshape(-1)
+    else:
+        B_flat = np.asarray(B_flat, dtype=np.float64).reshape(-1)
+        if B_flat.size != total:
+            raise ValueError(
+                f"B_flat has {B_flat.size} entries for {total} history "
+                "particles")
 
     def metric_at(beta):
         logw = float(beta) * logl_flat - B_flat

@@ -15,7 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .ops.weights import compute_logw_and_logz as _logw_logz
+from .ops.weights import (compute_logw_and_logz as _logw_logz,
+                          logw_from_mis_denominator as _logw_from_denom)
 
 _KEYS = ("u", "x", "logdetj", "logl", "logp", "logw", "blobs", "iter",
          "logz", "calls", "steps", "efficiency", "ess", "accept", "beta",
@@ -25,11 +26,16 @@ _KEYS = ("u", "x", "logdetj", "logl", "logp", "logw", "blobs", "iter",
 class Particles:
     """Per-iteration history of particles and scalar diagnostics."""
 
+    # Class-level default so checkpoints pickled before the cache existed
+    # unpickle cleanly (mis_denominator lazily rebuilds from `past`).
+    _mis_cache = None
+
     def __init__(self, n_particles, n_dim):
         self.n_particles = n_particles
         self.n_dim = n_dim
         self.past = {key: [] for key in _KEYS}
         self.results_dict = None
+        self._mis_cache = None
 
     def update(self, data):
         for key, value in data.items():
@@ -55,13 +61,84 @@ class Particles:
     def t(self):
         return len(self.past["beta"])
 
-    def compute_logw_and_logz(self, beta_final=1.0, normalize=True):
-        """Reweight the FULL history to temperature beta_final (see
-        ops.weights.compute_logw_and_logz for the estimator)."""
-        logl = np.stack([np.asarray(v, dtype=np.float64) for v in self.past["logl"]])
+    def mis_denominator(self):
+        """Balance-heuristic mixture denominator over the stored history,
+        maintained incrementally across appends.
+
+        Returns ``(B, logl)`` where ``B`` has shape (T, n) with
+        ``B[t, j] = logsumexp_i(beta_i * logl[t, j] - logz_i) - log T``
+        (exactly the `B` of ops.weights.compute_logw_and_logz) and
+        ``logl`` is the stacked f64 (T, n) history the denominator was
+        computed from.
+
+        The history is append-only in normal operation (reference
+        particles.py:69-146 semantics), so each call folds only the NEW
+        component temperatures / particle blocks into the cached running
+        logsumexp: O(T*n) per SMC iteration instead of rebuilding the
+        O(T^2 * n) component tensor (which also materialized a (T, T, n)
+        f64 intermediate — ~750 MB at T=300, n=1024). Any rollback
+        (pop) or retroactive edit of beta/logz invalidates the cached
+        prefix and triggers a full rebuild, still at O(T*n) peak memory.
+        Stored logl blocks are snapshotted at fold time, so later
+        in-place mutation of caller arrays cannot corrupt the cache.
+        """
         beta = np.asarray(self.past["beta"], dtype=np.float64)
         logz = np.asarray(self.past["logz"], dtype=np.float64)
-        return _logw_logz(logl, beta, logz, beta_final, normalize=normalize)
+        logl_list = self.past["logl"]
+        T = beta.size
+        if T == 0:
+            raise ValueError("empty history: no stored iterations")
+        if not (len(logl_list) == logz.size == T):
+            raise ValueError(
+                "inconsistent history: "
+                f"{len(logl_list)} logl blocks, {T} betas, {logz.size} logz")
+
+        c = self._mis_cache
+        if c is not None:
+            Tc = c["beta"].size
+            if (Tc > T
+                    or not np.array_equal(c["beta"], beta[:Tc])
+                    or not np.array_equal(c["logz"], logz[:Tc])):
+                c = None  # rollback or retroactive edit: rebuild
+        if c is None:
+            c = {"beta": beta[:0], "logz": logz[:0], "logl": [],
+                 "denom": None}
+        Tc = c["beta"].size
+
+        if Tc < T:
+            for t in range(Tc, T):
+                c["logl"].append(np.array(logl_list[t], dtype=np.float64,
+                                          copy=True))
+            logl_stack = np.stack(c["logl"])
+            # New particle blocks: denominator over the OLD components.
+            # (With Tc == 0 this is just the -inf identity.)
+            new_rows = np.full((T - Tc, logl_stack.shape[1]), -np.inf)
+            with np.errstate(invalid="ignore"):
+                for i in range(Tc):
+                    new_rows = np.logaddexp(
+                        new_rows, beta[i] * logl_stack[Tc:] - logz[i])
+            denom = (new_rows if Tc == 0
+                     else np.concatenate([c["denom"], new_rows]))
+            # New components: fold into ALL blocks.
+            with np.errstate(invalid="ignore"):
+                for i in range(Tc, T):
+                    denom = np.logaddexp(denom, beta[i] * logl_stack - logz[i])
+            c["denom"] = denom
+            c["beta"] = beta.copy()
+            c["logz"] = logz.copy()
+            self._mis_cache = c
+
+        logl_stack = (np.stack(c["logl"]) if c["logl"]
+                      else np.zeros((0, 0)))
+        return c["denom"] - np.log(T), logl_stack
+
+    def compute_logw_and_logz(self, beta_final=1.0, normalize=True):
+        """Reweight the FULL history to temperature beta_final (see
+        ops.weights.compute_logw_and_logz for the estimator; the mixture
+        denominator comes from the incremental mis_denominator cache)."""
+        B, logl = self.mis_denominator()
+        return _logw_from_denom(logl.reshape(-1), B.reshape(-1),
+                                beta_final, normalize=normalize)
 
     def compute_results(self):
         if self.results_dict is None:

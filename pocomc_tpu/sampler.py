@@ -1345,14 +1345,17 @@ class Sampler:
         self.t += 1
         self.pbar.update_iter()
 
-        logl_hist = self.particles.get("logl")
         beta_hist = self.particles.get("beta")
         logz_hist = self.particles.get("logz")
         beta_prev = self.particles.get("beta", index=-1)
+        # Incrementally maintained mixture denominator (O(T*n) per
+        # iteration; see Particles.mis_denominator) — bisect_beta skips
+        # its own O(T^2 * n) build.
+        B, logl_hist = self.particles.mis_denominator()
 
         beta, logw, ess_est, logz = bisect_beta(
             logl_hist, beta_hist, logz_hist, beta_prev,
-            self.n_effective, metric=self.metric)
+            self.n_effective, metric=self.metric, B_flat=B.reshape(-1))
         if beta == beta_prev:
             logz = self.particles.get("logz", index=-1)
         elif self.calib_z > 0.0:

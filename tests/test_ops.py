@@ -175,3 +175,89 @@ class TestResampling:
         w = np.array([1.0, 0.0, 0.0])
         idx = systematic_resample(5, w, np.random.default_rng(0))
         assert (idx == 0).all()
+
+
+class TestMISDenominatorCache:
+    """Particles.mis_denominator: incremental O(T*n) maintenance of the
+    balance-heuristic denominator must agree with the direct
+    compute_logw_and_logz build at every append, after rollbacks, and
+    after retroactive history edits (which force a rebuild)."""
+
+    def _direct(self, p, beta_final=1.0):
+        logl = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in p.past["logl"]])
+        beta = np.asarray(p.past["beta"], dtype=np.float64)
+        logz = np.asarray(p.past["logz"], dtype=np.float64)
+        return compute_logw_and_logz(logl, beta, logz, beta_final)
+
+    def test_incremental_appends_match_direct(self):
+        from pocomc_tpu.particles import Particles
+        rng = np.random.default_rng(7)
+        n = 64
+        p = Particles(n, 3)
+        for t in range(12):
+            p.update({"logl": rng.normal(-30, 5, n),
+                      "beta": float(min(1.0, 0.09 * (t + 1))),
+                      "logz": float(-0.4 * t)})
+            lw1, lz1 = p.compute_logw_and_logz(0.7)
+            lw2, lz2 = self._direct(p, 0.7)
+            np.testing.assert_allclose(lw1, lw2, atol=1e-12)
+            assert abs(lz1 - lz2) < 1e-12
+
+    def test_pop_rollback_and_retroactive_edit_rebuild(self):
+        from pocomc_tpu.particles import Particles
+        rng = np.random.default_rng(8)
+        n = 32
+        p = Particles(n, 3)
+        for t in range(6):
+            p.update({"logl": rng.normal(-30, 5, n),
+                      "beta": 0.15 * (t + 1), "logz": -0.4 * t})
+        p.compute_logw_and_logz(1.0)  # populate the cache at T=6
+        for k in ("logl", "beta", "logz"):
+            p.pop(k)
+        lw1, lz1 = p.compute_logw_and_logz(1.0)
+        lw2, lz2 = self._direct(p)
+        np.testing.assert_allclose(lw1, lw2, atol=1e-12)
+        assert abs(lz1 - lz2) < 1e-12
+        # retroactive logz edit invalidates the cached prefix
+        p.past["logz"][0] = -3.0
+        lw1, lz1 = p.compute_logw_and_logz(1.0)
+        lw2, lz2 = self._direct(p)
+        np.testing.assert_allclose(lw1, lw2, atol=1e-12)
+        assert abs(lz1 - lz2) < 1e-12
+
+    def test_bisect_beta_accepts_cached_denominator(self):
+        from pocomc_tpu.particles import Particles
+        rng = np.random.default_rng(9)
+        n = 128
+        p = Particles(n, 3)
+        for t in range(5):
+            p.update({"logl": rng.normal(-30, 5, n),
+                      "beta": 0.1 * (t + 1), "logz": -0.4 * t})
+        B, logl = p.mis_denominator()
+        beta = np.asarray(p.past["beta"])
+        logz = np.asarray(p.past["logz"])
+        r_cached = bisect_beta(logl, beta, logz, 0.5, 64.0,
+                               B_flat=B.reshape(-1))
+        r_direct = bisect_beta(logl, beta, logz, 0.5, 64.0)
+        assert r_cached[0] == r_direct[0]
+        np.testing.assert_allclose(r_cached[1], r_direct[1], atol=1e-12)
+        assert abs(r_cached[3] - r_direct[3]) < 1e-12
+
+    def test_bisect_beta_rejects_mismatched_denominator(self):
+        logl = np.zeros((2, 4))
+        with pytest.raises(ValueError):
+            bisect_beta(logl, np.array([0.1, 0.2]), np.zeros(2), 0.1, 2.0,
+                        B_flat=np.zeros(3))
+
+    def test_snapshot_guards_inplace_mutation(self):
+        from pocomc_tpu.particles import Particles
+        rng = np.random.default_rng(10)
+        n = 16
+        p = Particles(n, 3)
+        block = rng.normal(-30, 5, n)
+        p.update({"logl": block, "beta": 0.3, "logz": -0.1})
+        B0, _ = p.mis_denominator()
+        block[:] = 0.0  # caller mutates its array after the fold
+        B1, _ = p.mis_denominator()
+        np.testing.assert_array_equal(B0, B1)
