@@ -265,6 +265,7 @@ class Flow:
             _PROGRAM_CACHE[self._config_key] = dict(
                 forward=self._forward, inverse=self._inverse,
                 log_prob=self._log_prob, sample=self._sample,
+                sample_t=self._sample_t,
                 stack_log_prob=self._stack_log_prob,
                 forward_jit=self._forward_jit, inverse_jit=self._inverse_jit,
                 log_prob_jit=self._log_prob_jit, sample_jit=self._sample_jit,
@@ -276,6 +277,7 @@ class Flow:
             self._inverse = cached["inverse"]
             self._log_prob = cached["log_prob"]
             self._sample = cached["sample"]
+            self._sample_t = cached["sample_t"]
             self._forward_jit = cached["forward_jit"]
             self._inverse_jit = cached["inverse_jit"]
             self._log_prob_jit = cached["log_prob_jit"]
@@ -439,11 +441,35 @@ class Flow:
             base = -0.5 * jnp.sum(z * z, axis=-1) - 0.5 * n_dim * math.log(2 * math.pi)
             return x, base - ladj
 
+        def sample_t(params, key, size, nu):
+            """Heavier-tailed draws through the SAME trained transform:
+            z ~ multivariate Student-t_nu(0, I) in latent space, pushed
+            through the flow's inverse. Returns (x, logq(x)) with the
+            EXACT proposal density — for any latent base b(z), the
+            pushforward density at x is b(z) - log|det dx/dz| — so the
+            draws are a drop-in importance-sampling proposal (used by the
+            sampler's evidence estimator: the Gaussian-latent flow
+            under-covers target tails it never saw training data in,
+            which biases finite-n flow-IS logZ low; measured in
+            RESULTS.md round 3 "defensive evidence proposal")."""
+            from jax.scipy.special import gammaln
+            kz, kg = jax.random.split(key)
+            zn = jax.random.normal(kz, (size, n_dim))
+            g = 2.0 * jax.random.gamma(kg, nu / 2.0, (size, 1))
+            z = zn * jnp.sqrt(nu / g)
+            x, ladj = inverse(params, z)
+            base = (gammaln((nu + n_dim) / 2.0) - gammaln(nu / 2.0)
+                    - 0.5 * n_dim * jnp.log(nu * jnp.pi)
+                    - 0.5 * (nu + n_dim)
+                    * jnp.log1p(jnp.sum(z * z, axis=-1) / nu))
+            return x, base - ladj
+
         self._forward = forward
         self._inverse = inverse
         self._stack_log_prob = stack_log_prob
         self._log_prob = log_prob
         self._sample = sample
+        self._sample_t = sample_t
         self._forward_jit = jax.jit(forward)
         self._inverse_jit = jax.jit(inverse)
         self._log_prob_jit = jax.jit(log_prob)

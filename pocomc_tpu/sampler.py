@@ -165,6 +165,8 @@ class Sampler:
                  resample: str = "mult",
                  evidence_method: str = "auto",
                  evidence_refine: int = 2,
+                 evidence_proposal: str = "auto",
+                 evidence_nu: float = 5.0,
                  output_dir: str = None,
                  output_label: str = None,
                  random_state: int = None,
@@ -424,6 +426,32 @@ class Sampler:
         self.evidence_method = evidence_method
         self.evidence_method_used = None
         self.evidence_khat = None
+        # Evidence-draw proposal (beyond reference): the flow's Gaussian
+        # latent under-covers target tails it never saw training data
+        # in, which biases the finite-n flow-IS logZ LOW (the quickstart
+        # floor of -0.10 at the default budget) and fattens the
+        # importance-ratio tail (k-hat 0.5-0.9). "t" draws the evidence
+        # samples from a Student-t_nu latent pushed through the SAME
+        # trained flow — the IS identity holds for any proposal with
+        # computable density, and the heavier radial tail restores
+        # coverage where q << p. Measured (RESULTS.md round 3 "defensive
+        # evidence proposal"): quickstart 4-seed mean err -0.09 -> -0.05
+        # with k-hat down on every seed (one seed's raw-IS +1.11 outlier
+        # at k-hat 0.88 became -0.04 at 0.46); neutral on the funnel.
+        # "auto" resolves to "t" when the flow exposes the t-latent
+        # sampler (all built-in flows; custom flows fall back to "flow").
+        # "flow" reproduces the reference estimator exactly
+        # (sampler.py:869-920).
+        if evidence_proposal not in ("auto", "flow", "t"):
+            raise ValueError(
+                f"Invalid evidence_proposal {evidence_proposal!r}. Options "
+                f"are 'auto', 'flow' or 't'.")
+        if not (float(evidence_nu) > 0.0):
+            raise ValueError(
+                f"Invalid evidence_nu {evidence_nu!r}: must be > 0.")
+        self.evidence_proposal = evidence_proposal
+        self.evidence_nu = float(evidence_nu)
+        self.evidence_proposal_used = None
 
         if n_prior is None:
             self.n_prior = int(2 * max(self.n_effective // self.n_active, 1) * self.n_active)
@@ -1630,21 +1658,44 @@ class Sampler:
         logz_err stays unset outside _compute_evidence)."""
         return self.logz, self.logz_err
 
+    def _resolve_evidence_proposal(self):
+        """'auto' -> 't' when the flow exposes the t-latent sampler (all
+        built-in flows; models/flow.py sample_t), else 'flow'. An
+        explicit 't' on a custom flow without the sampler is an error."""
+        if self.evidence_proposal == "flow":
+            return "flow"
+        if hasattr(self.flow, "_sample_t"):
+            return "t"
+        if self.evidence_proposal == "t":
+            raise ValueError(
+                "evidence_proposal='t' requires the flow to expose a "
+                "_sample_t(params, key, size, nu) t-latent sampler (all "
+                "built-in flows do; see docs/flows.md for the custom-flow "
+                "protocol). Use evidence_proposal='flow' or 'auto'.")
+        return "flow"
+
     def _evidence_program(self, n):
         """Fused flow-IS ratio computation: sample + scaler + prior +
         likelihood as ONE device program (traceable path).  Returns the
         raw log-ratio vector (-inf on rows the prior rejects); the
         estimator itself runs on host f64 (see _compute_evidence) so the
         plain-IS and PSIS paths share one program."""
-        key = ("EVW", n)
+        proposal = self._resolve_evidence_proposal()
+        self.evidence_proposal_used = proposal
+        key = (("EVW", n) if proposal == "flow"
+               else ("EVW", n, "t", self.evidence_nu))
         if key not in self._prog_cache:
             scaler, log_prior = self.scaler, self._logprior_dev
             like = self._like_batch_fn
             flow = self.flow
+            nu = self.evidence_nu
 
             def ev(params, seed, scp):
                 k_s = jax.random.key(seed)
-                u_q, logq = flow._sample(params, k_s, n)
+                if proposal == "t":
+                    u_q, logq = flow._sample_t(params, k_s, n, nu)
+                else:
+                    u_q, logq = flow._sample(params, k_s, n)
                 x_q, logdetj = scaler.inverse(u_q, params=scp)
                 logp = log_prior(x_q)
                 finite = jnp.isfinite(logp)
@@ -1676,16 +1727,25 @@ class Sampler:
             # KEEP -inf-likelihood rows in the denominator
             logw = logw[~(np.isnan(logw) | np.isposinf(logw))]
         else:
-            if self.mesh is not None and hasattr(self.flow, "_sample"):
+            proposal = self._resolve_evidence_proposal()
+            self.evidence_proposal_used = proposal
+            if hasattr(self.flow, "_sample") and (
+                    self.mesh is not None or proposal == "t"):
                 # multi-host: the flow params are global mesh arrays and
                 # jit may not mix them with a process-local key — drive
                 # the sampler from a replicated uint32 seed instead
-                prog = self._prog_cache.get(("EVS", n))
+                key = (("EVS", n) if proposal == "flow"
+                       else ("EVS", n, "t", self.evidence_nu))
+                prog = self._prog_cache.get(key)
                 if prog is None:
-                    flow = self.flow
-                    prog = self._prog_cache[("EVS", n)] = jax.jit(
-                        lambda params, seed: flow._sample(
-                            params, jax.random.key(seed), n))
+                    flow, nu = self.flow, self.evidence_nu
+                    if proposal == "t":
+                        fn = lambda params, seed: flow._sample_t(
+                            params, jax.random.key(seed), n, nu)
+                    else:
+                        fn = lambda params, seed: flow._sample(
+                            params, jax.random.key(seed), n)
+                    prog = self._prog_cache[key] = jax.jit(fn)
                 u_q, logq = prog(self.flow.params, self._seed32())
             else:
                 u_q, logq = self.flow.sample(n, key=self._next_key())
@@ -1832,7 +1892,8 @@ class Sampler:
                       # older state dicts)
                       "n_steps", "n_max_steps", "plateau_z", "n_leapfrog",
                       "pipeline", "evidence_method", "corr_threshold",
-                      "calib_z", "_corr_auto", "evidence_refine")
+                      "calib_z", "_corr_auto", "evidence_refine",
+                      "evidence_proposal", "evidence_nu")
 
     def state_dict(self):
         """Picklable snapshot: history, flow params, scaler/geometry
@@ -1976,6 +2037,9 @@ class Sampler:
                               ("calib_z", 3.0),
                               ("_corr_auto", False),
                               ("evidence_refine", 2),
+                              ("evidence_proposal", "auto"),
+                              ("evidence_nu", 5.0),
+                              ("evidence_proposal_used", None),
                               ("_refine_round", 0)):
             self.__dict__.setdefault(attr, default)
         self.pool = None

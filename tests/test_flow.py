@@ -72,6 +72,25 @@ class TestBijection:
         np.testing.assert_allclose(np.asarray(logq), np.asarray(lp),
                                    rtol=1e-3, atol=1e-3)
 
+    def test_sample_t_density_normalized(self, arch):
+        """t-latent proposal draws (models/flow.py sample_t): the
+        returned logq must be the exact pushforward density, so the
+        importance identity E_q[flow_density / q] = 1 must hold to MC
+        error. flow_density is the flow's own log_prob — both densities
+        ride the same transform, so the check reduces to the latent
+        N(0,I)-vs-t_nu ratio under t_nu draws (finite moments, stable
+        at modest n)."""
+        flow = Flow(4, arch, seed=3)
+        x, logq = jax.jit(flow._sample_t, static_argnums=(2,))(
+            flow.params, jax.random.key(2), 4096, 5.0)
+        lp = flow.log_prob(x)
+        w = np.exp(np.asarray(lp) - np.asarray(logq))
+        assert np.isfinite(w).all()
+        assert np.mean(w) == pytest.approx(1.0, abs=0.05)
+        # heavier base: the ratio never explodes (tail draws are the
+        # DENOMINATOR's heavy side)
+        assert w.max() < 10.0
+
 
 def test_identity_log_prob_is_standard_normal():
     x = make_data(n=16)

@@ -57,6 +57,21 @@ class TestSamplerRuns:
         logz, err = s.evidence()
         assert err is not None and err < 0.2
         assert abs(logz - analytic_logz()) < max(3 * err, 0.15)
+        # default evidence proposal is the defensive t-latent draw
+        assert s.evidence_proposal_used == "t"
+
+    def test_evidence_proposal_flow_parity_option(self):
+        # evidence_proposal='flow' reproduces the reference estimator
+        # (Gaussian-latent flow draws) and stays accurate here
+        s = pc.Sampler(make_prior(), gaussian_loglike, vectorize=True,
+                       random_state=0, n_effective=256, n_active=128,
+                       precondition=True, flow="nsf3",
+                       evidence_proposal="flow",
+                       train_config={"epochs": 30, "patience": 5})
+        s.run(n_total=512, n_evidence=1024, progress=False)
+        assert s.evidence_proposal_used == "flow"
+        logz, err = s.evidence()
+        assert abs(logz - analytic_logz()) < max(3 * err, 0.2)
 
     def test_rwm_kernel(self):
         s = pc.Sampler(make_prior(), gaussian_loglike, vectorize=True,
@@ -93,7 +108,8 @@ class TestSamplerRuns:
 
     def test_invalid_options_raise(self):
         for kw in (dict(sample="bogus"), dict(metric="bogus"),
-                   dict(resample="bogus"), dict(transform="bogus")):
+                   dict(resample="bogus"), dict(transform="bogus"),
+                   dict(evidence_proposal="bogus"), dict(evidence_nu=0.0)):
             with pytest.raises(ValueError):
                 pc.Sampler(make_prior(), gaussian_loglike, vectorize=True, **kw)
 
