@@ -253,16 +253,39 @@ def bisect_beta(
     if m_max >= n_effective:
         return 1.0, logw_max, m_max, logz_max
 
+    # Bounded bisection (the reference's loop at sampler.py:764-777 is a
+    # bare `while True` — under extreme weight concentration the ESS/USS
+    # metric is effectively discontinuous in beta and the interval can
+    # collapse in f64 while the metric still sits outside the 1%
+    # tolerance, spinning forever; fixed here, not copied). 80 halvings
+    # shrink any (beta_prev, 1] interval below f64 resolution, and a
+    # collapsed interval exits early; either way the trial whose metric
+    # came CLOSEST to n_effective is returned.
     lo, hi = float(beta_prev), 1.0
-    while True:
+    # seed "best" with the nearer endpoint so a degenerate interval
+    # (beta_prev within one ulp of 1) still returns a valid tuple
+    if abs(m_prev - n_effective) <= abs(m_max - n_effective):
+        best, best_gap = ((float(beta_prev), logw_prev, m_prev, logz_prev),
+                          abs(m_prev - n_effective))
+    else:
+        best, best_gap = ((1.0, logw_max, m_max, logz_max),
+                          abs(m_max - n_effective))
+    for _ in range(80):
         beta = 0.5 * (lo + hi)
+        if beta <= lo or beta >= hi:
+            break  # interval collapsed to f64 resolution
         logw, w, val, logz = metric_at(beta)
-        if abs(val - n_effective) < tol_frac * n_effective or beta == 1.0:
+        gap = abs(val - n_effective)
+        if gap < best_gap:
+            best = (float(beta), logw, val, logz)
+            best_gap = gap
+        if gap < tol_frac * n_effective:
             return float(beta), logw, val, logz
         if val < n_effective:
             hi = beta
         else:
             lo = beta
+    return best
 
 
 # ---------------------------------------------------------------------------

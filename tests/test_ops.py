@@ -128,6 +128,27 @@ class TestBisectBeta:
                                        0.0, 64.0)
         assert b == 1.0
 
+    def test_unattainable_tolerance_terminates_with_closest_trial(self):
+        """One enormously dominant likelihood: ESS(beta) crashes from n to
+        ~1 inside an interval far narrower than 80 halvings of (0, 1] can
+        resolve, so the 1% tolerance is unattainable — the reference's bare
+        `while True` (sampler.py:764-777) keeps spinning; the bounded loop
+        must return the trial whose metric came closest to the target."""
+        logl = np.zeros((1, 64))
+        logl[0, 0] = 1e300
+        b, logw, ess, lz = bisect_beta(
+            logl, np.array([0.0]), np.array([0.0]), 0.0, 32.0)
+        assert 0.0 <= b <= 1.0
+        assert np.isfinite(ess) and np.isfinite(lz)
+        assert logw.shape == (64,)
+        # the closest reachable trial concentrates all mass -> ESS ~ 1
+        assert ess == pytest.approx(1.0, abs=1e-6)
+        # returned tuple is internally consistent with a direct reweight
+        logw_ref, lz_ref = compute_logw_and_logz(
+            logl, np.array([0.0]), np.array([0.0]), b)
+        np.testing.assert_allclose(logw, logw_ref, atol=1e-12)
+        assert lz == pytest.approx(lz_ref, rel=1e-12)
+
     def test_hoisted_denominator_matches_direct_reweight(self):
         """bisect_beta precomputes the beta-independent MIS denominator;
         its per-trial (logw, logz) must equal a direct
