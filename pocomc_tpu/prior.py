@@ -366,11 +366,30 @@ class Prior:
                           dtype=np.float64)
 
     def rvs(self, size=1, random_state=None):
-        """Draw samples (host-side)."""
+        """Draw samples (host-side).
+
+        Duck-typed (unconvertible) columns are seeded too: the reference
+        makes custom priors reproducible by seeding np.random globally
+        (sampler.py:195-197); here each fallback column first gets the
+        seed through `rvs(random_state=...)` and, if the signature
+        rejects it, draws under a temporarily seeded global np.random
+        state so seed-less scipy-style `rvs` implementations still
+        repeat under a fixed `random_state`.
+        """
         rng = np.random.default_rng(random_state)
         seed = int(rng.integers(0, 2**31 - 1))
         out = self._sample_jax(seed, int(size))
         for i, (d, jd) in enumerate(zip(self.dists, self._jax_dists)):
             if jd is None:
-                out[:, i] = np.asarray(d.rvs(size=size))
+                col_seed = int(rng.integers(0, 2**31 - 1))
+                try:
+                    col = d.rvs(size=size, random_state=col_seed)
+                except TypeError:
+                    saved = np.random.get_state()
+                    try:
+                        np.random.seed(col_seed)
+                        col = d.rvs(size=size)
+                    finally:
+                        np.random.set_state(saved)
+                out[:, i] = np.asarray(col)
         return out

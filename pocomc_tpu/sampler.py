@@ -863,7 +863,18 @@ class Sampler:
             try:
                 draws = self.sample_prior(self.n_prior, random_state=seed)
             except TypeError:
-                draws = self.sample_prior(self.n_prior)
+                # Duck-typed prior whose rvs has no random_state: scope a
+                # seeded global np.random state around the call so the
+                # draw still repeats under a fixed sampler random_state
+                # (the reference seeds np.random globally at __init__,
+                # ref sampler.py:195-197; scoping avoids the global
+                # side effect while keeping the contract).
+                saved = np.random.get_state()
+                try:
+                    np.random.seed(seed)
+                    draws = self.sample_prior(self.n_prior)
+                finally:
+                    np.random.set_state(saved)
             self.prior_samples = np.asarray(draws, dtype=np.float64)
             self.scaler.fit(self.prior_samples)
             self._scp_cache = None

@@ -85,3 +85,44 @@ class TestScipyConversion:
         s = prior.rvs(4000, random_state=0)
         assert abs(s.mean() - 2.0) < 0.05
         assert abs(s.std() - 0.5) < 0.05
+
+
+class _SeedlessDist:
+    """Duck-typed dist whose rvs signature has no random_state (the case
+    the reference covers by seeding np.random globally, ref
+    sampler.py:195-197)."""
+
+    def rvs(self, size=1):
+        return np.random.rand(size)
+
+    def logpdf(self, x):
+        return np.where((x >= 0) & (x <= 1), 0.0, -np.inf)
+
+    def support(self):
+        return (0.0, 1.0)
+
+
+class TestDuckTypedSeeding:
+    def test_rvs_reproducible_without_random_state_support(self):
+        prior = Prior([_SeedlessDist(), Normal(0, 1)])
+        assert not prior.traceable
+        a = prior.rvs(50, random_state=0)
+        b = prior.rvs(50, random_state=0)
+        np.testing.assert_array_equal(a, b)
+        c = prior.rvs(50, random_state=1)
+        assert not np.array_equal(a[:, 0], c[:, 0])
+
+    def test_rvs_restores_global_np_random_state(self):
+        prior = Prior([_SeedlessDist()])
+        np.random.seed(123)
+        expected_next = np.random.rand()
+        np.random.seed(123)
+        prior.rvs(10, random_state=0)
+        assert np.random.rand() == expected_next
+
+    def test_rvs_seeded_scipy_without_typeerror_path(self):
+        # unconvertible scipy dists DO take random_state — the primary path
+        prior = Prior([stats.skewnorm(3.0)])
+        a = prior.rvs(30, random_state=7)
+        b = prior.rvs(30, random_state=7)
+        np.testing.assert_array_equal(a, b)

@@ -148,3 +148,36 @@ class TestBoundedPrior:
         s.run(n_total=512, n_evidence=1024, progress=False)
         logz, err = s.evidence()
         assert abs(logz - analytic_logz()) < max(4 * err, 0.2)
+
+
+class _SeedlessPrior:
+    """Fully-custom duck-typed prior whose rvs takes no random_state.
+
+    The reference keeps such priors reproducible by seeding np.random
+    globally at __init__ (ref sampler.py:195-197); the sampler must scope a
+    seeded global state around the warmup draw instead.
+    """
+
+    dim = 2
+    bounds = np.array([[-np.inf, np.inf], [-np.inf, np.inf]])
+
+    def logpdf(self, x):
+        x = np.asarray(x)
+        return (-0.5 * np.sum((x / 5.0) ** 2, axis=-1)
+                - x.shape[-1] * np.log(5.0 * np.sqrt(2 * np.pi)))
+
+    def rvs(self, size=1):
+        return np.random.randn(size, 2) * 5.0
+
+
+class TestSeedlessCustomPrior:
+    def test_warmup_draws_reproducible(self):
+        draws = []
+        for _ in range(2):
+            s = pc.Sampler(_SeedlessPrior(), gaussian_loglike,
+                           vectorize=True, random_state=0,
+                           n_effective=256, n_active=128,
+                           precondition=False)
+            s.run(n_total=256, n_evidence=0, progress=False)
+            draws.append(np.array(s.prior_samples))
+        np.testing.assert_array_equal(draws[0], draws[1])
