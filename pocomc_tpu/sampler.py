@@ -51,6 +51,7 @@ from .ops.weights import (effective_sample_size, unique_sample_size,
 from .ops.resampling import systematic_resample, multinomial_resample
 from .ops.psis import psislw
 from .utils.tools import ProgressBar, FunctionWrapper
+from .utils.validation import assert_array_2d, assert_array_float
 
 
 def _is_traceable(fn, example_shape, expect_shape=None):
@@ -213,6 +214,16 @@ class Sampler:
         self.have_blobs = blobs_dtype is not None
 
         self.n_dim = int(prior.dim if n_dim is None else n_dim)
+        # Eager validation of the duck-typed bounds array (the reference
+        # validates scaler inputs through input_validation.py helpers; a
+        # malformed custom-prior bounds surface should fail here, not as
+        # a shape error deep inside the first sweep).
+        self.bounds = assert_array_float(
+            assert_array_2d(np.asarray(self.bounds, dtype=np.float64)))
+        if self.bounds.shape != (self.n_dim, 2):
+            raise ValueError(
+                f"prior.bounds must have shape (n_dim, 2) = "
+                f"({self.n_dim}, 2); got {self.bounds.shape}.")
 
         if n_active is None and n_effective is None:
             raise ValueError("At least one of n_active or n_effective must be provided.")
@@ -1739,6 +1750,13 @@ class Sampler:
             logw = logw[~(np.isnan(logw) | np.isposinf(logw))]
         else:
             proposal = self._resolve_evidence_proposal()
+            if proposal == "t" and not hasattr(self.flow, "_sample"):
+                # custom flow with _sample_t but no _sample: the host
+                # driver below can only draw through flow.sample
+                # (Gaussian latent). The estimate stays valid — logq
+                # matches the draws — but it IS a flow proposal; record
+                # what actually ran instead of misreporting 't'.
+                proposal = "flow"
             self.evidence_proposal_used = proposal
             if hasattr(self.flow, "_sample") and (
                     self.mesh is not None or proposal == "t"):

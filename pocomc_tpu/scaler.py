@@ -25,6 +25,10 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import erf, erfinv
 
+from .utils.validation import (assert_array_2d, assert_array_float,
+                               assert_array_finite,
+                               assert_array_within_interval)
+
 _LOG_SQRT_2PI = 0.5 * np.log(2.0 * np.pi)
 
 
@@ -191,8 +195,16 @@ class Reparameterize:
         return u
 
     def fit(self, x):
-        """Learn whitening moments from samples (host-side, once)."""
-        x = np.asarray(x, dtype=np.float64)
+        """Learn whitening moments from samples (host-side, once).
+
+        Validates the fit inputs the way the reference's scaler does
+        through its input_validation helpers (ref scaler.py /
+        input_validation.py): 2-D float array, all finite, inside the
+        declared support.
+        """
+        x = assert_array_finite(
+            assert_array_float(assert_array_2d(np.asarray(x,
+                                                          dtype=np.float64))))
         self._check_bounds(x)
         u = self._forward_bounds_np(x)
         self.mu = np.mean(u, axis=0).astype(np.float32)
@@ -210,7 +222,9 @@ class Reparameterize:
     def _check_bounds(self, x):
         low = np.asarray(self.low)
         high = np.asarray(self.high)
-        if np.any(x < low) or np.any(x > high):
+        try:
+            assert_array_within_interval(x, low, high)
+        except ValueError:
             raise ValueError("Input values outside the prior bounds.")
 
     # -- public API ----------------------------------------------------------

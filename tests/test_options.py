@@ -83,6 +83,43 @@ def test_validation_helpers():
         validation.assert_array_within_interval(np.array([2.0]), 0.0, 1.0)
 
 
+def test_validation_wired_into_public_inputs():
+    """The assert helpers guard the real input paths, not just exist
+    (reference wires input_validation into scaler/sampler)."""
+    from pocomc_tpu.scaler import Reparameterize
+
+    # scaler.fit: non-finite and non-2-D fits must fail eagerly
+    bounds = np.array([[-np.inf, np.inf]] * 2)
+    sc = Reparameterize(2, bounds)
+    with pytest.raises(ValueError):
+        sc.fit(np.array([[0.0, np.nan]]))
+    with pytest.raises(ValueError):
+        sc.fit(np.zeros(5))
+
+    # sampler __init__: a duck-typed prior with malformed bounds fails
+    # at construction with a shape-naming error
+    class BadBoundsPrior:
+        dim = 2
+        bounds = np.zeros(4)  # not (dim, 2)
+
+        def logpdf(self, x):
+            return np.zeros(len(np.atleast_2d(x)))
+
+        def rvs(self, size=1):
+            return np.random.rand(size, 2)
+
+    with pytest.raises(ValueError, match="2-D|bounds"):
+        pc.Sampler(BadBoundsPrior(), gaussian_loglike, vectorize=True,
+                   n_effective=128, n_active=64)
+
+    class WrongShapeBoundsPrior(BadBoundsPrior):
+        bounds = np.zeros((3, 2))  # 2-D but wrong first axis
+
+    with pytest.raises(ValueError, match="bounds"):
+        pc.Sampler(WrongShapeBoundsPrior(), gaussian_loglike,
+                   vectorize=True, n_effective=128, n_active=64)
+
+
 def test_pipeline_option():
     """pipeline=0 (strict per-iteration sync) and default pipelined runs
     both recover the analytic evidence; invalid depths raise."""
