@@ -23,14 +23,21 @@ def run(name, prior, loglike, expect, seed=0, **kw):
     wall = time.time() - t0
     it = int(s.t) if hasattr(s, "t") else -1
     # SMC persistent-sampling evidence: the recommended estimator when
-    # the flow-IS tail is heavy (k-hat warned) — no importance ratios
-    smc_logz = float(s.particles.compute_logw_and_logz(1.0)[1])
+    # the flow-IS tail is heavy (k-hat warned) — no importance ratios.
+    # Reported WITH the retroactive per-rung residual re-correction
+    # (what run(n_evidence=0) returns); smcZraw is the uncorrected
+    # causal ladder for comparison.
+    smc_logz = float(s.particles.compute_logw_and_logz(
+        1.0, recorrect=True)[1])
+    smc_raw = float(s.particles.compute_logw_and_logz(1.0)[1])
     exp_s = "n/a" if expect is None else f"{expect:.3f}"
     err = "" if expect is None else f"  err {s.logz - expect:+.3f}"
     smc_err = "" if expect is None else f" (err {smc_logz - expect:+.3f})"
+    smc_rerr = "" if expect is None else f" (err {smc_raw - expect:+.3f})"
     print(f"{name}: wall {wall:.0f}s  iters {it}  calls {s.calls}  "
           f"logZ {s.logz:.3f} +- {s.logz_err:.3f}  khat {s.evidence_khat:.2f}"
-          f"  smcZ {smc_logz:.3f}{smc_err}  analytic {exp_s}{err}",
+          f"  smcZ {smc_logz:.3f}{smc_err}  smcZraw {smc_raw:.3f}{smc_rerr}"
+          f"  analytic {exp_s}{err}",
           flush=True)
     import os
     if os.environ.get("POCOMC_ITER_TABLE"):

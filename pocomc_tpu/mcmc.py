@@ -69,6 +69,10 @@ class SweepState(NamedTuple):
                                 # log pi_v - log t_geom (nats): the
                                 # geometry-fit statistic driving the
                                 # adaptive sigma cap (tpcn only; 0 else)
+    dbeta: jnp.ndarray          # current rung size beta_t - beta_{t-1}
+                                # (constant through the sweep): yardstick
+                                # for the bias-budget stopping rule (see
+                                # `cond`); 0 disables
     key: jnp.ndarray
 
 
@@ -174,6 +178,10 @@ def make_sweep(
     corr_threshold: float = 0.0,        # decorrelation target; 0 disables
     calib_z: float = 0.0,               # equilibrium-calibration z-gate;
                                         # 0 disables (see accept_update)
+    bias_budget: float = 0.0,           # per-rung evidence-bias budget
+                                        # (nats): keep sweeping while
+                                        # |resid| * dbeta exceeds it;
+                                        # 0 disables (see `cond`)
     live_stats: bool = False,           # per-step tap via jax.debug.callback
     n_leapfrog: int = 5,                # hmc only: leapfrog steps/proposal
 ):
@@ -643,7 +651,7 @@ def make_sweep(
                             sigma, mu, grad, st.i + 1, cnt, logp2, calls,
                             alpha_mean, st.v0, corr, u_snap, logl_snap,
                             i_snap, hot, resid, z_logl_st, z_dim_st,
-                            misfit_st, prop["key"])
+                            misfit_st, st.dbeta, prop["key"])
         stats = jnp.stack([new_st.i.astype(sigma.dtype),
                            cnt.astype(sigma.dtype), sigma, alpha_mean,
                            corr.astype(sigma.dtype), hot, resid])
@@ -705,10 +713,22 @@ def make_sweep(
             # while the last closed window showed statistically
             # significant coherent population drift
             keep = keep | (st.hot > 0.5)
+            if bias_budget > 0.0:
+                # Bias-budget stopping: the stage's residual hotness
+                # biases the NEXT logz rung by ~dbeta_next * resid
+                # (see the ladder correction in accept_update /
+                # parallel/fused.py). Using the CURRENT rung size as the
+                # dbeta_next yardstick (the reweight-side cap enforces
+                # the estimate when it's wrong), keep sweeping while the
+                # predicted inherited bias exceeds the per-rung budget —
+                # a stopping rule driven by the measured remaining
+                # relaxation instead of a blanket decorrelation target.
+                keep = keep | (jnp.abs(st.resid) * st.dbeta > bias_budget)
         keep = keep & (st.i < n_max)
         return (st.i == 0) | keep
 
-    def should_continue(i, cnt, sigma, corr=0.0, hot=0.0) -> bool:
+    def should_continue(i, cnt, sigma, corr=0.0, hot=0.0,
+                        resid=0.0, dbeta=0.0) -> bool:
         """Host-side copy of `cond` for the stepped driver."""
         if i == 0:
             return True
@@ -726,10 +746,12 @@ def make_sweep(
             thr_eff = corr_threshold * min(1.0, sqrt_d_scale / sigma)
         return (cnt < thresh
                 or (corr_threshold > 0.0 and corr > thr_eff)
-                or (calib_z > 0.0 and hot > 0.5))
+                or (calib_z > 0.0 and hot > 0.5)
+                or (calib_z > 0.0 and bias_budget > 0.0
+                    and abs(resid) * dbeta > bias_budget))
 
     def init_state(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
-                   flow_params=None, scaler_params=None):
+                   flow_params=None, scaler_params=None, dbeta=0.0):
         n = u.shape[0]
         dtype = u.dtype
         if preconditioned:
@@ -776,8 +798,54 @@ def make_sweep(
             resid=jnp.asarray(0.0, dtype),
             z_logl=jnp.asarray(0.0, dtype),
             z_dim=jnp.asarray(0.0, dtype),
-            misfit=jnp.asarray(0.0, dtype), key=key,
+            misfit=jnp.asarray(0.0, dtype),
+            dbeta=jnp.asarray(dbeta, dtype), key=key,
         )
+
+    def _final_resid(final: SweepState):
+        """Residual-hotness at sweep EXIT, refreshed from the last
+        PARTIAL drift window when it holds >= 2 steps.
+
+        The in-loop resid only updates when a CALIB_W-step window closes
+        (accept_update). Sweeps that exit earlier — every plateau-rule
+        exit shorter than CALIB_W steps, i.e. the entire easy-target
+        regime — report resid = 0 and the evidence ladder gets NO
+        hotness correction exactly where sweeps are shortest and
+        populations stay most selection-hot (measured: quickstart smcZ
+        +0.48 while every sweep exits at 4-6 steps). The geometric
+        extrapolation D * rho/(1-rho) is window-length consistent (for a
+        per-step geometric relaxation, D over ANY gap paired with rho
+        over the same gap extrapolates to the same remaining total), so
+        the freshest partial window is both valid and strictly more
+        current than a stale closed-window reading.
+
+        Exposed as `resid_exit`, SEPARATE from the live `resid`: feeding
+        this estimate into the LIVE rung correction changes stored
+        weights and thereby the whole run trajectory (measured, r4: the
+        quickstart ladder degraded +0.48 -> +0.98 and the chained
+        Rosenbrock quadrupled its call count when wired live). It is
+        instead stored per stage and applied RETROACTIVELY at evidence
+        time (Particles.recorrected_logz), which re-lays the rung ladder
+        without touching run dynamics."""
+        if calib_z <= 0.0:
+            return final.resid
+        gap = final.i - final.i_snap
+        ok = jnp.isfinite(final.logl) & jnp.isfinite(final.logl_snap)
+        nn = jnp.maximum(jnp.sum(ok), 2).astype(final.sigma.dtype)
+        dl = jnp.where(ok, final.logl - final.logl_snap, 0.0)
+        D = jnp.sum(dl) / nn
+        l0c = jnp.where(ok, final.logl_snap, 0.0)
+        l1c = jnp.where(ok, final.logl, 0.0)
+        m0 = jnp.sum(l0c) / nn
+        m1 = jnp.sum(l1c) / nn
+        cov01 = jnp.sum(jnp.where(
+            ok, (l0c - m0) * (l1c - m1), 0.0)) / nn
+        v0v = jnp.sum(jnp.where(ok, (l0c - m0) ** 2, 0.0)) / nn
+        v1v = jnp.sum(jnp.where(ok, (l1c - m1) ** 2, 0.0)) / nn
+        rho_w = cov01 / jnp.maximum(jnp.sqrt(v0v * v1v), 1e-30)
+        rho_w = jnp.clip(rho_w, 0.0, 0.9)
+        resid_part = D * rho_w / (1.0 - rho_w)
+        return jnp.where(gap >= 2, resid_part, final.resid)
 
     def _results(final: SweepState):
         return dict(u=final.u, x=final.x, logdetj=final.logdetj,
@@ -785,14 +853,15 @@ def make_sweep(
                     efficiency=final.sigma, accept=final.accept,
                     steps=final.i, calls=final.calls,
                     proposal_scale=final.sigma, corr=final.corr,
-                    resid=final.resid, hot=final.hot,
+                    resid=final.resid, resid_exit=_final_resid(final),
+                    hot=final.hot,
                     z_logl=final.z_logl, z_dim=final.z_dim,
                     misfit=final.misfit)
 
     def _sweep_impl(u, x, logdetj, logl, logp, beta, sigma0, geom, key,
-                    flow_params=None, scaler_params=None):
+                    flow_params=None, scaler_params=None, dbeta=0.0):
         init = init_state(u, x, logdetj, logl, logp, beta, sigma0, geom,
-                          key, flow_params, scaler_params)
+                          key, flow_params, scaler_params, dbeta=dbeta)
 
         def body(st: SweepState) -> SweepState:
             prop = propose(st, beta, geom, flow_params, scaler_params)

@@ -137,7 +137,7 @@ def _metric_of(w, valid_flat, metric: str):
 def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
                           dynamic: bool = True, dynamic_ratio: float = 1.0,
                           trim_ess: float = 0.99, trim_bins: int = 1000,
-                          n_bisect: int = 26):
+                          n_bisect: int = 26, bias_budget: float = 0.0):
     """Phase A: temperature selection + trimming + training-set selection.
 
     Returns reweight(hist, n_effective, n_total) -> dict with
@@ -192,6 +192,26 @@ def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
         beta_bisect = 0.5 * (lo + hi)
         beta = jnp.where(m_prev <= n_effective, beta_prev,
                          jnp.where(m_one >= n_effective, one, beta_bisect))
+        if bias_budget > 0.0:
+            # Coverage-targeted beta spacing: a rung inherits
+            # dbeta * hotness of upward bias from its still-relaxing
+            # source population (see the correction note below), so when
+            # the latest sweep exited with large |resid_prev| — the
+            # extrapolated REMAINING mean-logl drift — the ESS-chosen
+            # step would lay a rung whose (corrected) bias estimate is
+            # itself untrustworthy at that magnitude. Cap the advance so
+            # each rung carries at most bias_budget nats of estimated
+            # hotness: more, smaller rungs exactly where relaxation is
+            # incomplete (the VERDICT-r3 curved-geometry prescription).
+            # The 2^-8 progress floor bounds the ladder at ~256 extra
+            # rungs even if resid never shrinks (a floored rung then
+            # carries floor * |resid| nats — still corrected by the
+            # stored-rung correction).
+            adv = jnp.maximum(
+                bias_budget / jnp.maximum(jnp.abs(resid_prev), 1e-12),
+                2.0 ** -8)
+            beta = jnp.where(beta > beta_prev,
+                             jnp.minimum(beta, beta_prev + adv), beta)
         w, logz_new = _flat_weights_at(hist, valid_t, valid_flat, beta)
         m_at = _metric_of(w, valid_flat, metric)
         # reference keeps the previous running logZ when beta stalls
@@ -398,7 +418,8 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
     Returns mutate(hist, beta, logz, w_flat, u_sel, w_sel, sigma0, geom,
     flow_params, seed[, scaler_params][, terminated]) -> (hist', stats)
     with stats = [accept, steps, calls, proposal_scale, metric_at_beta1,
-    mean_logl_logp, noop, corr, resid].
+    mean_logl_logp, noop, corr, resid, hot, z_logl, z_dim, nu, misfit,
+    resid_exit].
 
     `terminated` (from phase A) makes the whole iteration a device-side
     no-op under `lax.cond`: the pipelined host enqueues up to 2*pipeline
@@ -429,9 +450,14 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
             logl = hist.logl.reshape(-1)[idx]
             logp = hist.logp.reshape(-1)[idx]
 
+            # current rung size: yardstick for the sweep's bias-budget
+            # stopping rule (mcmc.py `cond`); hist still holds only the
+            # PREVIOUS stages here (push happens below)
+            t_prev = jnp.maximum(hist.t - 1, 0)
+            dbeta = jnp.maximum(beta - hist.beta[t_prev], 0.0)
             res = sweep_raw(u, x, logdetj, logl, logp, beta, sigma0, geom,
                             k_sweep, flow_params=flow_params,
-                            scaler_params=scaler_params)
+                            scaler_params=scaler_params, dbeta=dbeta)
 
             hist = push_history(hist, res["u"], res["x"], res["logdetj"],
                                 res["logl"], res["logp"], beta, logz)
@@ -446,7 +472,8 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
                 res["z_logl"].astype(jnp.float32),
                 res["z_dim"].astype(jnp.float32),
                 jnp.minimum(geom["t_nu"], 1e6).astype(jnp.float32),
-                res["misfit"].astype(jnp.float32)])
+                res["misfit"].astype(jnp.float32),
+                res["resid_exit"].astype(jnp.float32)])
             return hist, s
 
         def skip_iter(hist):
@@ -456,7 +483,7 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
             s = jnp.stack([zero, zero, zero,
                            jnp.asarray(sigma0, jnp.float32),
                            lp_mean, jnp.asarray(1.0, jnp.float32),
-                           zero, zero, zero, zero, zero, zero, zero])
+                           zero, zero, zero, zero, zero, zero, zero, zero])
             return hist, s
 
         if terminated is None:
@@ -473,7 +500,7 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
         m1 = _metric_of(w1, valid_flat, metric)
 
         stats = jnp.stack([s[0], s[1], s[2], s[3], m1, s[4], s[5], s[6],
-                           s[7], s[8], s[9], s[10], s[11], s[12]])
+                           s[7], s[8], s[9], s[10], s[11], s[12], s[13]])
         return hist, stats
 
     return jax.jit(mutate)

@@ -47,7 +47,8 @@ from .models.geometry import Geometry
 from .particles import Particles
 from .scaler import Reparameterize
 from .ops.weights import (effective_sample_size, unique_sample_size,
-                          trim_weights, bisect_beta)
+                          trim_weights, bisect_beta,
+                          logw_from_mis_denominator)
 from .ops.resampling import systematic_resample, multinomial_resample
 from .ops.psis import psislw
 from .utils.tools import ProgressBar, FunctionWrapper
@@ -163,6 +164,7 @@ class Sampler:
                  plateau_z: float = 0.75,
                  corr_threshold: float = None,
                  calib_z: float = 3.0,
+                 bias_budget: float = None,
                  resample: str = "mult",
                  evidence_method: str = "auto",
                  evidence_refine: int = 2,
@@ -304,6 +306,17 @@ class Sampler:
             raise ValueError(
                 f"Invalid calib_z {calib_z!r}: must be >= 0.")
         self.calib_z = float(calib_z)
+        # Per-rung evidence-bias budget (nats): caps the beta advance at
+        # bias_budget / |resid| when the latest sweep exited with large
+        # extrapolated remaining drift (coverage-targeted beta spacing;
+        # see parallel/fused.py make_reweight_program). None -> auto
+        # (enabled with the drift test, off when calib_z=0); 0 disables.
+        if bias_budget is None:
+            bias_budget = 0.1 if self.calib_z > 0.0 else 0.0
+        if float(bias_budget) < 0.0:
+            raise ValueError(
+                f"Invalid bias_budget {bias_budget!r}: must be >= 0.")
+        self.bias_budget = float(bias_budget)
 
         self.n_total = None
         self.n_evidence = None
@@ -670,6 +683,7 @@ class Sampler:
                           plateau_z=self.plateau_z,
                           corr_threshold=self.corr_threshold,
                           calib_z=self.calib_z,
+                          bias_budget=self.bias_budget,
                           live_stats=self._live_stats,
                           n_leapfrog=self.n_leapfrog)
             # imh needs the flow; its (unreachable — precondition is
@@ -732,7 +746,7 @@ class Sampler:
             self.vectorize, id(self.prior),
             self.n_dim, self.n_active, self.n_steps, self.n_max_steps,
             self.plateau_z, self.corr_threshold, self.calib_z,
-            self.sample, self.n_leapfrog,
+            self.bias_budget, self.sample, self.n_leapfrog,
             self.preconditioned, self.metric, self.dynamic,
             float(self.dynamic_ratio), self.resample,
             self.flow._config_key,
@@ -945,7 +959,12 @@ class Sampler:
                     # on runs that never refine
                     self._compute_evidence(self.n_evidence, warn=False)
             else:
-                _, self.logz = self.particles.compute_logw_and_logz(1.0)
+                # SMC persistent-sampling evidence with the retroactive
+                # per-rung residual re-correction (Particles.
+                # recorrected_logz): the causal in-run ladder stays
+                # untouched, only the reported estimate is re-laid.
+                _, self.logz = self.particles.compute_logw_and_logz(
+                    1.0, recorrect=True)
                 self.logz_err = None
         finally:
             if self.profile_dir is not None:
@@ -1103,7 +1122,8 @@ class Sampler:
         if keyA not in self._prog_cache:
             self._prog_cache[keyA] = fused.make_reweight_program(
                 n_select, self.n_active, metric=self.metric,
-                dynamic=self.dynamic, dynamic_ratio=self.dynamic_ratio)
+                dynamic=self.dynamic, dynamic_ratio=self.dynamic_ratio,
+                bias_budget=self.bias_budget)
         keyC = ("C",)
         if keyC not in self._prog_cache:
             sweep = (self._sweep_precond if self.preconditioned
@@ -1254,6 +1274,8 @@ class Sampler:
                     z_dim=float(statsC[11]) if len(statsC) > 11 else 0.0,
                     nu=float(statsC[12]) if len(statsC) > 12 else 0.0,
                     misfit=float(statsC[13]) if len(statsC) > 13 else 0.0,
+                    resid_exit=(float(statsC[14])
+                                if len(statsC) > 14 else 0.0),
                     sigma=self.proposal_scale))
                 self.pbar.update_stats(dict(
                     beta=beta_h, calls=self.calls, ESS=int(ess_h),
@@ -1406,6 +1428,25 @@ class Sampler:
         beta, logw, ess_est, logz = bisect_beta(
             logl_hist, beta_hist, logz_hist, beta_prev,
             self.n_effective, metric=self.metric, B_flat=B.reshape(-1))
+        if self.bias_budget > 0.0 and beta > beta_prev:
+            # Coverage-targeted beta spacing (host mirror of the fused
+            # reweight cap, parallel/fused.py): each rung inherits at
+            # most bias_budget nats of estimated source-population
+            # hotness; with the 2^-8 progress floor the ladder stays
+            # bounded even if resid never shrinks.
+            resid_prev = (self.particles.get("resid", index=-1)
+                          if self.particles.past.get("resid") else 0.0)
+            adv = max(self.bias_budget / max(abs(resid_prev), 1e-12),
+                      2.0 ** -8)
+            if beta - beta_prev > adv:
+                beta = beta_prev + adv
+                logw, logz = logw_from_mis_denominator(
+                    logl_hist.reshape(-1), B.reshape(-1), beta)
+                w_cap = np.exp(logw - np.max(logw))
+                w_cap /= w_cap.sum()
+                ess_est = (effective_sample_size(w_cap)
+                           if self.metric == "ess"
+                           else unique_sample_size(w_cap))
         if beta == beta_prev:
             logz = self.particles.get("logz", index=-1)
         elif self.calib_z > 0.0:
@@ -1469,14 +1510,16 @@ class Sampler:
         return (np.concatenate([u, u[idx]], axis=0),
                 np.concatenate([w, np.zeros(n_bucket - n, dtype=w.dtype)]))
 
-    def _run_stepped_sweep(self, sweep, args, flow_params, blobs):
+    def _run_stepped_sweep(self, sweep, args, flow_params, blobs,
+                           dbeta=0.0):
         """Host-driven MCMC sweep: the likelihood (and blobs) are evaluated
         on host between the jitted propose/accept halves. Used when the
         backend lacks host callbacks or when blobs must be tracked through
         every accept/reject (reference mcmc.py:113-149 semantics)."""
         u, x, logdetj, logl, logp, beta, sigma0, geom, key = args
         st = sweep.init_state(u, x, logdetj, logl, logp, beta, sigma0, geom,
-                              flow_params=flow_params, key=key)
+                              flow_params=flow_params, key=key,
+                              dbeta=jnp.float32(dbeta))
         n = self.n_active
         if blobs is not None:
             blobs = blobs.copy()
@@ -1505,7 +1548,9 @@ class Sampler:
                         steps=i))
                 if not sweep.should_continue(
                         i, cnt, sigma, corr=float(stats[4]),
-                        hot=float(stats[5]) if len(stats) > 5 else 0.0):
+                        hot=float(stats[5]) if len(stats) > 5 else 0.0,
+                        resid=float(stats[6]) if len(stats) > 6 else 0.0,
+                        dbeta=dbeta):
                     break
             finite = np.asarray(finite)
             logl_p = np.full(n, -np.inf)
@@ -1609,11 +1654,17 @@ class Sampler:
                 shard(current_particles["logp"]),
                 jnp.float32(current_particles["beta"]),
                 jnp.float32(self.proposal_scale), geom, self._next_key())
+        # current rung size (yardstick for the sweep's bias-budget
+        # stopping rule, mcmc.py `cond`); the new rung is not in the
+        # history store yet, so past[-1] is the previous stage
+        dbeta = max(float(current_particles["beta"])
+                    - float(self.particles.get("beta", index=-1)), 0.0)
         sweep = self._sweep_precond if self.preconditioned else self._sweep_plain
         stepped = self._sweep_mode == "stepped" or self.have_blobs
         if stepped:
             results, blobs = self._run_stepped_sweep(
-                sweep, args, flow_params, current_particles.get("blobs"))
+                sweep, args, flow_params, current_particles.get("blobs"),
+                dbeta=dbeta)
             results = jax.device_get(results)
         else:
             if self._live_stats and self.progress:
@@ -1626,9 +1677,11 @@ class Sampler:
             try:
                 if self.preconditioned:
                     results = sweep(*args, flow_params=flow_params,
-                                    scaler_params=self._scp())
+                                    scaler_params=self._scp(),
+                                    dbeta=jnp.float32(dbeta))
                 else:
-                    results = sweep(*args, scaler_params=self._scp())
+                    results = sweep(*args, scaler_params=self._scp(),
+                                    dbeta=jnp.float32(dbeta))
                 # device_get blocks: all pending live-stat callbacks have
                 # fired before the sink is torn down
                 if self.mesh is not None and self.mesh.multihost:
@@ -1654,7 +1707,10 @@ class Sampler:
         # hot flag (stored diagnostic only — gating the correction on it
         # was measured and rejected, RESULTS.md "hot-gating postmortem")
         current_particles["resid"] = float(results.get("resid", 0.0))
+        current_particles["resid_exit"] = float(
+            results.get("resid_exit", 0.0))
         current_particles["hot"] = float(results.get("hot", 0.0))
+        current_particles["corr"] = float(results.get("corr", 0.0))
         self.calls = current_particles["calls"]
         self.proposal_scale = float(results["proposal_scale"])
 
@@ -1882,7 +1938,8 @@ class Sampler:
         logp = self.particles.get("logp", flat=True)
         if return_blobs:
             blobs = self.particles.get("blobs", flat=True)
-        logw, _ = self.particles.compute_logw_and_logz(1.0)
+        logw, _ = self.particles.compute_logw_and_logz(
+            1.0, recorrect=bool(self.particles.past.get("resid_exit")))
         weights = np.exp(logw)
 
         if trim_importance_weights:
@@ -1922,7 +1979,7 @@ class Sampler:
                       "n_steps", "n_max_steps", "plateau_z", "n_leapfrog",
                       "pipeline", "evidence_method", "corr_threshold",
                       "calib_z", "_corr_auto", "evidence_refine",
-                      "evidence_proposal", "evidence_nu")
+                      "evidence_proposal", "evidence_nu", "bias_budget")
 
     def state_dict(self):
         """Picklable snapshot: history, flow params, scaler/geometry
@@ -1956,7 +2013,7 @@ class Sampler:
         # would be wrong in both directions.
         program_keys = ("sample", "preconditioned", "n_active", "n_steps",
                         "n_max_steps", "plateau_z", "n_leapfrog",
-                        "corr_threshold", "calib_z")
+                        "corr_threshold", "calib_z", "bias_budget")
         rebuild = any(k in state and state[k] != getattr(self, k)
                       for k in program_keys)
         for k in self._STATE_SCALARS:
@@ -1971,7 +2028,11 @@ class Sampler:
         self.particles.past.setdefault(
             "resid", [0.0] * len(self.particles.past["beta"]))
         self.particles.past.setdefault(
+            "resid_exit", [0.0] * len(self.particles.past["beta"]))
+        self.particles.past.setdefault(
             "hot", [0.0] * len(self.particles.past["beta"]))
+        self.particles.past.setdefault(
+            "corr", [0.0] * len(self.particles.past["beta"]))
         self.particles.results_dict = None
         # invalidate device-loop caches tied to the previous run
         self._geom_dev = None
