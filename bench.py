@@ -32,6 +32,76 @@ def _enable_cache(jax):
     enable_compile_cache(cache_dir)
 
 
+def _tpu_peak_flops():
+    """Best-effort bf16 peak for the attached chip (None if unknown)."""
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    peaks = {"v5 lite": 197.2e12, "v5e": 197.2e12, "v4": 275e12,
+             "v5p": 459e12, "v6 lite": 918e12, "v6": 918e12}
+    return next((v for k, v in peaks.items() if k in kind), None)
+
+
+def _sweep_step_flops(n_active, n_dim=10, flow_name="nsf6"):
+    """XLA-counted flops of ONE t-pCN sweep step (propose + likelihood +
+    accept) at the given population size, per particle-step.
+
+    cost_analysis() of a whole sweep counts the lax.while_loop body once
+    regardless of trip count, so the honest unit is a standalone
+    single-step program; callers multiply by steps actually executed.
+    Best-effort: returns None where the backend lacks cost analysis.
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+        from pocomc_tpu.mcmc import make_sweep, make_loglike_device
+        from pocomc_tpu.models.flow import Flow
+        from pocomc_tpu.models.geometry import fit_geometry_jax
+        from pocomc_tpu.scaler import Reparameterize
+        from pocomc_tpu.prior import Prior, Normal
+
+        prior = Prior([Normal(0.0, 3.0) for _ in range(n_dim)])
+        scaler = Reparameterize(n_dim, bounds=prior.bounds)
+        flow = Flow(n_dim, flow_name, seed=0)
+
+        def log_like(x):
+            return -jnp.sum(100.0 * (x[..., 1:] - x[..., :-1] ** 2) ** 2
+                            + (1.0 - x[..., :-1]) ** 2, axis=-1)
+
+        loglike_dev = make_loglike_device(log_like, True, True)
+        sweep = make_sweep(scaler=scaler, log_prior=prior.logpdf,
+                           log_like=loglike_dev, n_dim=n_dim,
+                           n_steps=10**6, n_max=16, kind="tpcn",
+                           preconditioned=True,
+                           flow_fwd=flow.kernel_fwd,
+                           flow_inv=flow.kernel_inv)
+        key = jax.random.key(0)
+        k1, k2 = jax.random.split(key)
+        u = jax.random.normal(k1, (n_active, n_dim), dtype=jnp.float32)
+        x, logdetj = scaler.inverse(u)
+        logl, logp = log_like(x), prior.logpdf(x)
+        w = jnp.full((n_active,), 1.0 / n_active, dtype=jnp.float32)
+        geom = fit_geometry_jax(u, weights=w, key=k2)
+        beta_c, sigma_c = jnp.float32(0.7), jnp.float32(0.75)
+
+        def one_step(st):
+            prop = sweep.propose(st, beta_c, geom, flow.params, None)
+            logl_p = loglike_dev(prop["x_safe"], prop["finite"])
+            new_st, _, _ = sweep.accept_update(st, prop, logl_p, beta_c,
+                                               geom)
+            return new_st
+
+        st0 = sweep.init_state(u, x, logdetj, logl, logp, beta_c, sigma_c,
+                               geom, jax.random.key(3),
+                               flow_params=flow.params)
+        cost = jax.jit(one_step).lower(st0).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        return flops / n_active if flops > 0 else None
+    except Exception:
+        return None  # cost analysis is best-effort on exotic plugins
+
+
 def bench_quickstart():
     """North star: warm end-to-end wall on the reference quickstart."""
     import jax
@@ -68,7 +138,7 @@ def bench_quickstart():
     true_logz, ref_wall = -21.4021, 150.0
     assert abs(logz - true_logz) < 0.35, (
         f"quickstart logZ {logz:.3f} vs exact {true_logz}")
-    print(json.dumps({
+    out = {
         "metric": "quickstart_wall_seconds_rosenbrock10_warm",
         "value": round(wall, 2),
         "unit": "seconds (median of 3 full runs; reference CPU: 150 s)",
@@ -76,7 +146,19 @@ def bench_quickstart():
         "logz": round(logz, 3),
         "likelihood_calls_median": int(np.median(calls)),
         "reference_likelihood_calls": 51456,
-    }))
+    }
+    # FLOP-utilization proxy (VERDICT r3 #7): sweep-step flops at the
+    # run's population size x likelihood calls (= particle-steps), over
+    # the measured wall. LOWER bound on device efficiency: excludes the
+    # flow-training / reweight / evidence programs and includes the
+    # tunnel round-trip share of the wall; quoted against the bf16 peak
+    # while flow matmuls run at f32 precision (~3 MXU passes/flop).
+    fpp = _sweep_step_flops(256)
+    peak = _tpu_peak_flops()
+    if fpp and peak:
+        out["mfu_sweep_flops_vs_bf16_peak"] = float(
+            f"{fpp * float(np.median(calls)) / wall / peak:.3g}")
+    print(json.dumps(out))
 
 
 def bench_kernel():
@@ -154,13 +236,29 @@ def bench_kernel():
     dt = float(np.median(dts))
 
     particle_steps_per_sec = k_chain * n_active * n_steps_fixed / dt
+
+    # FLOP utilization (VERDICT r3 #7): per-particle-step flops from the
+    # standalone single-step cost analysis (_sweep_step_flops) x steps
+    # actually executed, over the measured wall. Lower bound on device
+    # efficiency: the wall includes one tunnel round trip per rep, and
+    # the bf16 peak is quoted while flow matmuls run at f32 precision
+    # (~3 MXU passes per logical flop).
+    fpp = _sweep_step_flops(n_active)
+    peak = _tpu_peak_flops()
+
     baseline = 343.0  # reference CPU particle-steps/sec (BASELINE.md)
-    print(json.dumps({
+    out = {
         "metric": "tpcn_particle_steps_per_sec_rosenbrock10_nsf6",
         "value": round(particle_steps_per_sec, 1),
         "unit": "particle-steps/sec",
         "vs_baseline": round(particle_steps_per_sec / baseline, 2),
-    }))
+    }
+    if fpp:
+        out["flops_per_particle_step"] = round(fpp, 1)
+        if peak:
+            out["mfu_vs_bf16_peak"] = float(
+                f"{fpp * particle_steps_per_sec / peak:.3g}")
+    print(json.dumps(out))
 
 
 def main():
