@@ -27,11 +27,13 @@ truth:
 Usage: python benchmarks/ladder_estimators.py [config ...] (same config
 names as baseline_configs.py).
 """
+import os
 import sys
 import numpy as np
 
 sys.path.insert(0, "/root/repo/benchmarks")
 import baseline_configs as bc
+import ladder_oracles
 
 
 def _logsumexp(a, axis=None):
@@ -67,7 +69,7 @@ def mbar(logl, beta_states, f_init, iters=500, tol=1e-9):
     return f
 
 
-def evaluate(s, expect):
+def evaluate(s, expect, oracle=None, save_as=None):
     p = s.particles
     logl = np.asarray(p.past["logl"], dtype=np.float64)
     beta = np.asarray(p.past["beta"], dtype=np.float64)
@@ -76,6 +78,12 @@ def evaluate(s, expect):
     T, n = logl.shape
     if resid.size < T:  # warmup stages predate the sweep diagnostics
         resid = np.concatenate([np.zeros(T - resid.size), resid])
+    if save_as:
+        os.makedirs(".round4", exist_ok=True)
+        corr_s = np.asarray(p.past.get("corr") or [], dtype=np.float64)
+        np.savez(f".round4/{save_as}_hist.npz", logl=logl, beta=beta,
+                 logz=logz, resid_exit=resid, corr=corr_s,
+                 expect=expect)
 
     raw = p.compute_logw_and_logz(1.0)[1]
     retro_logz = p.recorrected_logz()
@@ -112,10 +120,43 @@ def evaluate(s, expect):
     f_mbar_t = mbar(logl, beta_t, f_tilt_init)
     est_mbar_t = mis_logz(logl, beta_t, f_mbar_t)
 
-    print(f"  T={T} n={n}  exact {expect:.3f}")
-    for name, v in (("raw", raw), ("retro", retro), ("mbar", est_mbar),
-                    ("tilt", tilt), ("mbar*", est_mbar_t),
-                    ("corrlaw", corrlaw), ("comb", comb)):
+    rows = [("raw", raw), ("retro", retro), ("mbar", est_mbar),
+            ("tilt", tilt), ("mbar*", est_mbar_t),
+            ("corrlaw", corrlaw), ("comb", comb)]
+
+    if oracle is not None:
+        # (a) ORACLE RUNGS: exact logZ(beta_t) in the denominators. If
+        # this is exact, the samples are fine and only the rung values
+        # need repair; residual error here is population coverage.
+        f_exact = oracle(beta)
+        rows.append(("oracle", mis_logz(logl, beta, f_exact)))
+        # (b) ORACLE TILT: leave the causal rungs, but describe each
+        # stage population by its EXACT hotness-matched temperature
+        # beta* s.t. E_{beta*}[logl] = mean(logl_t) (inverted from the
+        # oracle mean-energy curve by monotone interpolation).
+        bg = np.linspace(0.0, 1.0, 2001)
+        eg = ladder_oracles.mean_logl(oracle, bg)
+        mt = logl.mean(axis=1)
+        beta_star = np.interp(mt, eg, bg)  # eg increasing in beta
+        f_star = np.interp(beta_star, bg, oracle(bg))
+        rows.append(("o-tilt", mis_logz(logl, beta_star, f_star)))
+        # per-rung diagnostics: stored-rung error and exact hotness
+        hot_exact = ladder_oracles.mean_logl(oracle, beta) - mt
+        err_rung = logz - f_exact
+        print(f"  T={T} n={n}  exact {expect:.3f}")
+        print("  rung errors (logz_stored - exact): "
+              f"first5 {np.round(err_rung[:5], 3)} "
+              f"last5 {np.round(err_rung[-5:], 3)} "
+              f"max|.| {np.abs(err_rung).max():.3f}")
+        print("  exact hotness E_b[logl]-mean(logl): "
+              f"first5 {np.round(hot_exact[:5], 2)} "
+              f"last5 {np.round(hot_exact[-5:], 2)}")
+        print("  beta tilt (beta* - beta): "
+              f"median {np.median(beta_star - beta):+.4f} "
+              f"max|.| {np.abs(beta_star - beta).max():.4f}")
+    else:
+        print(f"  T={T} n={n}  exact {expect:.3f}")
+    for name, v in rows:
         print(f"  {name:7s} {v:.3f}  err {v - expect:+.3f}", flush=True)
     print(f"  tilt magnitudes: max {tilt_amt.max():.2e} "
           f"median {np.median(tilt_amt):.2e}  "
@@ -128,10 +169,15 @@ def evaluate(s, expect):
 _orig_run = bc.run
 
 
+_current = {"name": None}
+
+
 def run_and_eval(name, prior, loglike, expect, seed=0, **kw):
     s = _orig_run(name, prior, loglike, expect, seed=seed, **kw)
     if expect is not None:
-        evaluate(s, expect)
+        cfg = _current["name"]
+        evaluate(s, expect, oracle=ladder_oracles.ORACLES.get(cfg),
+                 save_as=f"{cfg}_s{seed}" if cfg else None)
     return s
 
 
@@ -139,5 +185,14 @@ bc.run = run_and_eval
 
 if __name__ == "__main__":
     names = [a for a in sys.argv[1:] if "=" not in a] or ["quickstart"]
+    kw = {}
+    for a in sys.argv[1:]:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            try:
+                kw[k] = int(v)
+            except ValueError:
+                kw[k] = float(v)
     for nm in names:
-        bc.ALL[nm]()
+        _current["name"] = nm
+        bc.ALL[nm](**kw)
