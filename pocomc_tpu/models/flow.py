@@ -640,9 +640,12 @@ class Flow:
             x_val = jnp.asarray(x_val)
             w_val = jnp.asarray(w_val)
 
-        if mesh is not None and n_train_total % mesh.size == 0:
+        if mesh is not None:
             # data-parallel training: samples sharded over the particle
-            # mesh; parameter grads all-reduce automatically under jit
+            # mesh; parameter grads all-reduce automatically under jit.
+            # Row counts that don't divide the mesh (pow2 buckets on a
+            # non-pow2 mesh) fall back to replicated inputs inside
+            # shard_particles — same program, no data parallelism.
             x_train = mesh.shard_particles(x_train)
             w_train = mesh.shard_particles(w_train)
             params = mesh.replicate(self.params["stack"])

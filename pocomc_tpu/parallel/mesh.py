@@ -91,6 +91,10 @@ class ParticleMesh:
         self.particle_spec = P("particles")
         self.particle_sharding = NamedSharding(self.mesh, self.particle_spec)
         self.replicated = NamedSharding(self.mesh, P())
+        # diagnostic: how many shard_particles calls fell back to
+        # replication because the row count didn't divide the mesh
+        # (tests assert the fallback path actually runs inside full runs)
+        self.replication_fallbacks = 0
 
     @property
     def size(self):
@@ -118,6 +122,7 @@ class ParticleMesh:
         training sets on a non-pow2 mesh) fall back to replication —
         always correct, just unsharded."""
         if np.shape(arr)[0] % self.size != 0:
+            self.replication_fallbacks += 1
             return self._put(arr, self.replicated, axis=None)
         return self._put(arr, self.particle_sharding, axis=0)
 

@@ -2158,15 +2158,24 @@ class Sampler:
         (utils/checkpoint.py) — mmap-able and inspectable, the TPU
         ecosystem standard."""
         path = Path(path)
+        # Multi-process (SPMD-replicated host) runs: every process holds
+        # the identical state and calls save_state in lockstep — state_dict
+        # itself is collective-free (the device loop syncs history, a
+        # collective, BEFORE saving), but only process 0 may touch the
+        # file: concurrent writers racing the same temp+rename would
+        # corrupt the checkpoint on a shared filesystem.
+        state = self.state_dict()
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return
         print(f"Saving PMC state to {path}")
         from .utils.checkpoint import is_orbax_path, save_orbax
         if is_orbax_path(path):
-            save_orbax(self.state_dict(), path)
+            save_orbax(state, path)
             return
         path.parent.mkdir(parents=True, exist_ok=True)
-        temp_path = path.with_suffix(".temp")
+        temp_path = path.with_suffix(f".temp-{os.getpid()}")
         with open(temp_path, "wb") as f:
-            pickle.dump(self.state_dict(), f)
+            pickle.dump(state, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(temp_path, path)
