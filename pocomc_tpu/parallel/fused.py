@@ -134,6 +134,12 @@ def _metric_of(w, valid_flat, metric: str):
     return uss_jax(w, jnp.sum(valid_flat))
 
 
+# length of phase A's stats vector ([beta, logz, metric_at_beta,
+# n_eff_next, uss_active]); the packed per-iteration sync vector is
+# statsA ++ statsC and the host splits it at this offset
+STATS_A_LEN = 5
+
+
 def make_reweight_program(n_select: int, n_active: int, metric: str = "ess",
                           dynamic: bool = True, dynamic_ratio: float = 1.0,
                           trim_ess: float = 0.99, trim_bins: int = 1000,
@@ -416,10 +422,16 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
     iteration in the else branch of sampler.py:636-678).
 
     Returns mutate(hist, beta, logz, w_flat, u_sel, w_sel, sigma0, geom,
-    flow_params, seed[, scaler_params][, terminated]) -> (hist', stats)
-    with stats = [accept, steps, calls, proposal_scale, metric_at_beta1,
-    mean_logl_logp, noop, corr, resid, hot, z_logl, z_dim, nu, misfit,
-    resid_exit].
+    flow_params, seed[, scaler_params][, terminated][, statsA])
+    -> (hist', stats) with stats = [accept, steps, calls, proposal_scale,
+    metric_at_beta1, mean_logl_logp, noop, corr, resid, hot, z_logl,
+    z_dim, nu, misfit, resid_exit].
+
+    `statsA` (optional): phase A's (STATS_A_LEN,) stats vector. When
+    given it is prepended to the returned stats so the host's blocking
+    per-iteration sync pulls ONE packed device buffer instead of two —
+    on the high-latency tunnel each fetched buffer costs a round-trip
+    share, and the sync is the pipelined loop's wall-clock floor.
 
     `terminated` (from phase A) makes the whole iteration a device-side
     no-op under `lax.cond`: the pipelined host enqueues up to 2*pipeline
@@ -434,7 +446,7 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
 
     def mutate(hist: DeviceHistory, beta, logz, w_flat, u_sel, w_sel,
                sigma0, geom, flow_params, seed, scaler_params=None,
-               terminated=None):
+               terminated=None, statsA=None):
         T_max, n, d = hist.u.shape
         key = jax.random.key(seed)
         k_res, k_geom, k_sweep = jax.random.split(key, 3)
@@ -501,6 +513,8 @@ def make_mutate_program(sweep_raw, n_active: int, resample: str = "mult",
 
         stats = jnp.stack([s[0], s[1], s[2], s[3], m1, s[4], s[5], s[6],
                            s[7], s[8], s[9], s[10], s[11], s[12], s[13]])
+        if statsA is not None:
+            stats = jnp.concatenate([statsA, stats])
         return hist, stats
 
     return jax.jit(mutate)

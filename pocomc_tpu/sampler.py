@@ -1234,16 +1234,19 @@ class Sampler:
             try:
                 # ONE batched transfer for the whole drain window: the
                 # sync round trip amortizes over k iterations (the point
-                # of the pipeline). Stats vectors are replicated jit
-                # outputs, so this works multi-host too.
-                stats = jax.device_get([(p["statsA"], p["statsC"])
-                                        for p in batch])
+                # of the pipeline), and each iteration's statsA/statsC
+                # ride in a single packed device vector (one fetched
+                # buffer per iteration instead of two — each buffer
+                # costs a round-trip share on the tunnel). Stats vectors
+                # are replicated jit outputs, so this works multi-host.
+                stats = jax.device_get([p["stats"] for p in batch])
             except Exception:
                 # a backend/sharding combination where the outputs came
                 # back non-replicated: per-array all-gather fallback
-                stats = [(self._fetch(p["statsA"]), self._fetch(p["statsC"]))
-                         for p in batch]
-            for p, (statsA, statsC) in zip(batch, stats):
+                stats = [self._fetch(p["stats"]) for p in batch]
+            nA = fused.STATS_A_LEN
+            for p, packed in zip(batch, stats):
+                statsA, statsC = packed[:nA], packed[nA:]
                 if statsC[6] > 0.5:
                     # device-side termination guard fired: the iteration
                     # was a no-op (no sweep, no calls, no history slot) —
@@ -1332,13 +1335,14 @@ class Sampler:
                     self.flow_untrained = False
                 flow_params = self.flow.params if self.preconditioned else None
                 with self._trace("pocomc/mutate"):
-                    hist, statsC = progC(hist, outA["beta"], outA["logz"],
+                    hist, packed = progC(hist, outA["beta"], outA["logz"],
                                          outA["w_flat"], outA["u_sel"],
                                          outA["w_sel"],
                                          jnp.float32(self.proposal_scale),
                                          self._geom_dev, flow_params,
                                          self._seed32(), self._scp(),
-                                         outA["terminated"])
+                                         outA["terminated"],
+                                         outA["stats"])
                 self._hist_dev = hist
                 # UNCONDITIONAL: gating this on the exit hot flag was
                 # measured and rejected (RESULTS.md round 3 "hot-gating
@@ -1346,11 +1350,10 @@ class Sampler:
                 # residual relaxation, not just noise (funnel25 flow-IS
                 # −0.25 ungated vs −0.96 gated; quickstart calls
                 # 57.3k vs 59.9k).
-                self._resid_dev = statsC[8]
+                self._resid_dev = packed[fused.STATS_A_LEN + 8]
                 self._slot_count += 1
-                pending.append(dict(statsA=outA["stats"], statsC=statsC,
-                                    t=self.t, n_select=n_select,
-                                    t_start=_t_iter))
+                pending.append(dict(stats=packed, t=self.t,
+                                    n_select=n_select, t_start=_t_iter))
 
             if pending and terminated:
                 sync_batch(len(pending))
