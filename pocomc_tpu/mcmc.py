@@ -182,8 +182,31 @@ def make_sweep(
                                         # (nats): keep sweeping while
                                         # |resid| * dbeta exceeds it;
                                         # 0 disables (see `cond`)
+    bias_rate: float = 0.0,             # run-total ladder-bias rate budget
+                                        # (nats per unit beta): keep
+                                        # sweeping while the dose-response
+                                        # law's predicted rung bias
+                                        # corr * dbeta * Var(logl) exceeds
+                                        # it; 0 disables (see `cond`)
+    bias_floor: float = 0.0,            # decorrelation floor for the
+                                        # bias_rate rule: the rule never
+                                        # demands corr below this (the
+                                        # unrelaxed blanket target), so
+                                        # per-rung spending is bounded by
+                                        # what the d-scaled blanket would
+                                        # have spent; 0 = no floor
     live_stats: bool = False,           # per-step tap via jax.debug.callback
     n_leapfrog: int = 5,                # hmc only: leapfrog steps/proposal
+    imh_every: int = 0,                 # tpcn+preconditioned only: every
+                                        # imh_every-th sweep step proposes
+                                        # an INDEPENDENT flow-base draw
+                                        # (theta' ~ N(0,I)) instead of the
+                                        # local t-pCN move. An accepted
+                                        # independence move erases walker
+                                        # memory outright, so decorrelation
+                                        # costs O(1/acceptance) steps
+                                        # instead of O(1/(alpha*sigma^2))
+                                        # local steps; 0 disables
 ):
     """Build a jitted adaptive MCMC sweep over the whole active population.
 
@@ -199,6 +222,10 @@ def make_sweep(
         raise ValueError(
             "kind='imh' proposes from the flow's latent base and "
             "requires preconditioning (precondition=True).")
+    # the independence-refresh cadence needs the flow latent; plain-space
+    # sweeps (warmup, precondition=False) silently run pure local moves
+    if kind != "tpcn" or not preconditioned:
+        imh_every = 0
 
     sqrt_d_scale = 2.38 / math.sqrt(n_dim)
     # t-pCN proposal scale cap, adapted per step from a measured
@@ -412,6 +439,19 @@ def make_sweep(
             z = jax.random.normal(k_norm, (n, n_dim), dtype=cur.dtype)
             step = jnp.sqrt(s)[:, None] * (z @ t_chol.T)
             v_prime = st.mu + jnp.sqrt(1.0 - st.sigma**2) * diff + st.sigma * step
+            use_imh = None
+            if imh_every > 0:
+                # independence-refresh step (see the imh_every rationale):
+                # on every imh_every-th step the whole population proposes
+                # theta' ~ N(0, I) in the flow latent instead of the local
+                # t-pCN move. Both proposal laws are computed and selected
+                # by `where` — under jit the step index is traced, and the
+                # extra base draw is noise next to the likelihood.
+                k_norm2 = jax.random.fold_in(k_norm, 1)
+                v_imh = jax.random.normal(k_norm2, (n, n_dim),
+                                          dtype=cur.dtype)
+                use_imh = (st.i % imh_every) == (imh_every - 1)
+                v_prime = jnp.where(use_imh, v_imh, v_prime)
         elif kind == "imh":
             # independent MH from the flow's base: theta' ~ N(0, I). A
             # well-trained flow maps the target onto ~N(0,I) latents, so
@@ -437,6 +477,13 @@ def make_sweep(
                     finite=finite, q=q, qp=q, k_unif=k_unif, key=key)
         if kind == "tpcn":
             prop["qp"] = _student_quadform(v_prime - st.mu, inv_cov)
+            if imh_every > 0:
+                prop["use_imh"] = use_imh
+                # log q(theta) - log q(theta') under the N(0, I)
+                # independence proposal (same correction as kind='imh');
+                # computed on the PRE-WRAP latent positions
+                prop["imh_corr"] = 0.5 * (jnp.sum(v_prime**2, axis=-1)
+                                          - jnp.sum(cur**2, axis=-1))
         elif kind == "imh":
             # log q(theta) - log q(theta') under the N(0, I) proposal
             prop["corr"] = 0.5 * (jnp.sum(v_prime**2, axis=-1)
@@ -446,7 +493,8 @@ def make_sweep(
     def accept_update(st: SweepState, prop, logl_p, beta, geom) -> tuple:
         """Metropolis accept + diminishing adaptation + plateau counters.
         Returns (new_state, accept_mask, packed_stats) where packed_stats
-        = [i, cnt, sigma, mean_alpha, corr, hot, resid] as one f32 vector
+        = [i, cnt, sigma, mean_alpha, corr, hot, resid, var_logl] as one
+        f32 vector
         so the stepped host driver syncs ONE transfer per step instead of
         seven scalar pulls (each a full round trip on a high-latency
         link)."""
@@ -466,7 +514,13 @@ def make_sweep(
             half = 0.5 * (n_dim + nu)
             A = -half * jnp.log1p(prop["qp"] / nu)
             B = -half * jnp.log1p(prop["q"] / nu)
-            log_ratio = log_ratio - A + B
+            if imh_every > 0:
+                # independence-refresh steps carry the N(0,I) proposal
+                # correction instead of the t-pCN reversibility terms
+                log_ratio = log_ratio + jnp.where(
+                    prop["use_imh"], prop["imh_corr"], -A + B)
+            else:
+                log_ratio = log_ratio - A + B
             # Geometry-fit statistic for the adaptive sigma cap (see the
             # sigma_cap comment above): std over the live population of
             # log pi_v - log t_geom, both at the CURRENT positions (B is
@@ -521,6 +575,10 @@ def make_sweep(
             sigma = jnp.abs(jnp.minimum(
                 st.sigma + (alpha_mean - accept_target) / i1**0.75,
                 _tpcn_cap))
+            if imh_every > 0:
+                # an independence step's acceptance measures FLOW quality,
+                # not local scale — it must not drive sigma adaptation
+                sigma = jnp.where(prop["use_imh"], st.sigma, sigma)
             if preconditioned:
                 mu = st.mu + (jnp.mean(theta, axis=0) - st.mu) / i1
             else:
@@ -652,9 +710,16 @@ def make_sweep(
                             alpha_mean, st.v0, corr, u_snap, logl_snap,
                             i_snap, hot, resid, z_logl_st, z_dim_st,
                             misfit_st, st.dbeta, prop["key"])
+        # masked population variance of logl: the bias-rate stopping
+        # rule's third factor (see `cond`), shipped to the stepped host
+        # driver in the same packed transfer
+        okv = jnp.isfinite(logl)
+        nnv = jnp.maximum(jnp.sum(okv), 1).astype(sigma.dtype)
+        mlv = jnp.sum(jnp.where(okv, logl, 0.0)) / nnv
+        var_logl = jnp.sum(jnp.where(okv, (logl - mlv) ** 2, 0.0)) / nnv
         stats = jnp.stack([new_st.i.astype(sigma.dtype),
                            cnt.astype(sigma.dtype), sigma, alpha_mean,
-                           corr.astype(sigma.dtype), hot, resid])
+                           corr.astype(sigma.dtype), hot, resid, var_logl])
         return new_st, accept, stats
 
     def cond(st: SweepState) -> jnp.ndarray:
@@ -708,6 +773,48 @@ def make_sweep(
             else:
                 thr_eff = corr_threshold
             keep = keep | (st.corr > thr_eff)
+            if bias_rate > 0.0:
+                # Bias-rate stopping (closes the budget loop on its own
+                # diagnostic): the round-3/4 dose-response law reads the
+                # NEXT logz rung's walker-memory bias as
+                # ~ corr * dbeta * Var(logl) * dbeta_next (verified
+                # near-oracle on the gauss50 ladder, RESULTS.md round 4
+                # "corrlaw postmortem"). Allocating a run-total budget of
+                # bias_rate nats proportionally to path length (rung
+                # share = dbeta, sum(dbeta) = 1) and using the current
+                # rung as the dbeta_next yardstick gives the per-rung
+                # rule: keep sweeping while corr * dbeta * Var(logl)
+                # exceeds bias_rate. Unlike the blanket d-scaled
+                # corr_threshold this spends steps exactly at the rungs
+                # whose dbeta * Var is large enough to matter; the law's
+                # config-dependent overprediction (up to ~3x) only makes
+                # the rule conservative — it can over-mutate, never
+                # under-correct a rung the way the corrlaw retro
+                # correction (disqualified, same postmortem) could.
+                # The bias_floor guard bounds that conservatism: at early
+                # rungs Var(logl) is astronomical (quickstart rung 1:
+                # O(1e6)) while the ACTUAL rung errors there are ~0
+                # (oracle forensics, RESULTS.md round 4) — the unguarded
+                # rule demanded corr < 4e-7, pinned those sweeps at n_max
+                # and spent 5.8x the call budget (.round4/exp3). Flooring
+                # the demanded decorrelation at the unrelaxed blanket
+                # target caps per-rung spending at what the old d-scaled
+                # rule would have paid, so the rate rule can only
+                # REALLOCATE the relaxed budget, never exceed the old one.
+                okv = jnp.isfinite(st.logl)
+                nnv = jnp.maximum(jnp.sum(okv), 1).astype(st.sigma.dtype)
+                mlv = jnp.sum(jnp.where(okv, st.logl, 0.0)) / nnv
+                vlv = jnp.sum(jnp.where(
+                    okv, (st.logl - mlv) ** 2, 0.0)) / nnv
+                rate_keep = st.corr * st.dbeta * vlv > bias_rate
+                if bias_floor > 0.0:
+                    if kind == "tpcn":
+                        floor_eff = bias_floor * jnp.minimum(
+                            1.0, sqrt_d_scale / st.sigma)
+                    else:
+                        floor_eff = bias_floor
+                    rate_keep = rate_keep & (st.corr > floor_eff)
+                keep = keep | rate_keep
         if calib_z > 0.0:
             # equilibrium-drift test (see accept_update): keep sweeping
             # while the last closed window showed statistically
@@ -728,7 +835,7 @@ def make_sweep(
         return (st.i == 0) | keep
 
     def should_continue(i, cnt, sigma, corr=0.0, hot=0.0,
-                        resid=0.0, dbeta=0.0) -> bool:
+                        resid=0.0, dbeta=0.0, var_logl=0.0) -> bool:
         """Host-side copy of `cond` for the stepped driver."""
         if i == 0:
             return True
@@ -742,10 +849,16 @@ def make_sweep(
                 ratio = min(1.0, ratio)
             thresh = max(n_steps * ratio**2, min(n_steps, 4.0))
         thr_eff = corr_threshold
+        floor_eff = bias_floor
         if kind == "tpcn":
-            thr_eff = corr_threshold * min(1.0, sqrt_d_scale / sigma)
+            scale = min(1.0, sqrt_d_scale / sigma)
+            thr_eff = corr_threshold * scale
+            floor_eff = bias_floor * scale
         return (cnt < thresh
                 or (corr_threshold > 0.0 and corr > thr_eff)
+                or (corr_threshold > 0.0 and bias_rate > 0.0
+                    and corr * dbeta * var_logl > bias_rate
+                    and (bias_floor <= 0.0 or corr > floor_eff))
                 or (calib_z > 0.0 and hot > 0.5)
                 or (calib_z > 0.0 and bias_budget > 0.0
                     and abs(resid) * dbeta > bias_budget))

@@ -80,6 +80,12 @@ _CALLBACK_SUPPORT = None
 _ENGINE_CACHE: OrderedDict = OrderedDict()
 _ENGINE_CACHE_MAX = 8
 
+# Auto value of the bias_rate stopping rule (nats of predicted run-total
+# ladder bias per unit beta; see the __init__ bias_rate rationale and
+# mcmc.py `cond`). Calibrated on the north-star suite (RESULTS.md
+# round 4 "bias-rate budget loop").
+_BIAS_RATE_DEFAULT = 0.4
+
 
 def callbacks_supported() -> bool:
     """True if the default backend can run jax.pure_callback (the axon
@@ -165,6 +171,8 @@ class Sampler:
                  corr_threshold: float = None,
                  calib_z: float = 3.0,
                  bias_budget: float = None,
+                 bias_rate: float = None,
+                 imh_every: int = None,
                  resample: str = "mult",
                  evidence_method: str = "auto",
                  evidence_refine: int = 2,
@@ -317,6 +325,48 @@ class Sampler:
             raise ValueError(
                 f"Invalid bias_budget {bias_budget!r}: must be >= 0.")
         self.bias_budget = float(bias_budget)
+        # Run-total ladder-bias rate budget (nats per unit beta; mcmc.py
+        # `cond`): a sweep keeps mutating while the dose-response law's
+        # predicted next-rung walker-memory bias, corr * dbeta *
+        # Var(logl), exceeds this rate. Because sum(dbeta) = 1 over the
+        # run, the rule bounds the PREDICTED run-total ladder bias by
+        # bias_rate nats while spending steps only at the rungs whose
+        # dbeta * Var(logl) is large — closing the mutation budget loop
+        # on the measured bias law instead of the blanket d-scaled
+        # decorrelation target (which _corr_auto_value then relaxes to
+        # the 0.15 ladder-grade cap; measured: gauss50 36.9M -> ~7M
+        # likelihood calls at unchanged evidence accuracy, RESULTS.md
+        # round 4 "bias-rate budget loop"). None -> auto: enabled at 0.4
+        # for traceable (device-fused) likelihoods where steps are
+        # nearly free, disabled for black-box likelihoods (their
+        # cost-aware 0.15 target keeps reference-scale call budgets;
+        # resolved in _build_device_fns once traceability is known).
+        # 0 disables.
+        self._bias_rate_auto = bias_rate is None
+        if bias_rate is None:
+            bias_rate = _BIAS_RATE_DEFAULT if self.calib_z > 0.0 else 0.0
+        if float(bias_rate) < 0.0:
+            raise ValueError(
+                f"Invalid bias_rate {bias_rate!r}: must be >= 0.")
+        self.bias_rate = float(bias_rate)
+        # Spending bound for the rate rule (resolved per-run in
+        # _build_device_fns once traceability/n_evidence are known).
+        self.bias_floor = 0.0
+        # Independence-refresh cadence (mcmc.py imh_every): every k-th
+        # tpcn sweep step proposes theta' ~ N(0, I) in the flow latent —
+        # an accepted refresh erases walker memory outright, so the
+        # decorrelation criteria are satisfiable in O(1/acceptance)
+        # steps instead of O(1/(alpha*sigma^2)) local moves (measured:
+        # gauss50 27.2M -> see RESULTS.md round 4 "independence
+        # refresh"). None -> auto (resolved with the other cost-aware
+        # knobs in _build_device_fns); 0 disables.
+        self._imh_auto = imh_every is None
+        if imh_every is None:
+            imh_every = 0
+        if not isinstance(imh_every, int) or imh_every < 0:
+            raise ValueError(
+                f"Invalid imh_every {imh_every!r}: must be an int >= 0.")
+        self.imh_every = int(imh_every)
 
         self.n_total = None
         self.n_evidence = None
@@ -548,7 +598,34 @@ class Sampler:
         Fused device likelihoods keep the full d-scaled target — there
         the extra calls are nearly free (RESULTS.md round 3). Explicit
         corr_threshold values always win over auto.
+
+        Bias-rate handover: when the bias_rate stopping rule is active
+        (mcmc.py `cond`) the blanket target relaxes to the 0.15
+        ladder-grade cap — the rate rule buys decorrelation exactly at
+        the rungs whose predicted ladder bias needs it, instead of the
+        d-scaled target buying it at every rung (measured: gauss50
+        36.9M -> ~7M calls at unchanged evidence accuracy; RESULTS.md
+        round 4 "bias-rate budget loop").
         """
+        base = min(0.5, max(0.02, 0.5 * (10.0 / self.n_dim) ** 2))
+        if getattr(self, "bias_rate", 0.0) > 0.0:
+            base = max(base, 0.15)
+        if n_evidence == 0:
+            base = min(base, 0.15)
+        if not getattr(self, "likelihood_traceable", True):
+            base = max(base, 0.15)
+        return base
+
+    def _bias_floor_value(self, n_evidence=None):
+        """Decorrelation floor for the bias_rate stopping rule: the
+        UNRELAXED blanket auto target (what _corr_auto_value would return
+        with the rate rule off). The rule never demands corr below this,
+        so per-rung spending is bounded by what the old d-scaled blanket
+        would have paid at that rung — the rate rule reallocates the
+        relaxed budget to high-stakes rungs, it cannot exceed the old
+        one. Without the floor the rule pinned quickstart's early rungs
+        (Var(logl) ~ 1e6, actual rung error ~0) at n_max: 5.8x calls
+        (.round4/exp3, RESULTS.md round 4 "bias-rate budget loop")."""
         base = min(0.5, max(0.02, 0.5 * (10.0 / self.n_dim) ** 2))
         if n_evidence == 0:
             base = min(base, 0.15)
@@ -572,12 +649,28 @@ class Sampler:
         else:
             self._like_batch_fn = None
         self.likelihood_traceable = like_traceable
+        if getattr(self, "_bias_rate_auto", False):
+            # Cost-aware resolution (see the __init__ bias_rate
+            # rationale): the rate rule spends extra likelihood calls,
+            # which are nearly free only when the likelihood fuses into
+            # the device sweep. Must resolve before the auto
+            # corr_threshold below (the blanket target relaxes only when
+            # the rate rule is active) and before the programs are built.
+            self.bias_rate = (_BIAS_RATE_DEFAULT
+                              if self.calib_z > 0.0 and like_traceable
+                              else 0.0)
         if getattr(self, "_corr_auto", False):
             # Cost-aware re-resolution: whether the likelihood traces (=
             # calls are nearly free on device) is only known here, after
             # the probe above. Must happen before the programs below are
             # built/fetched — corr_threshold is baked into their traces.
             self.corr_threshold = self._corr_auto_value(self.n_evidence)
+        self.bias_floor = (self._bias_floor_value(self.n_evidence)
+                           if self.bias_rate > 0.0 else 0.0)
+        if getattr(self, "_imh_auto", False):
+            # auto cadence: off until the measurement campaign pins a
+            # default (explicit values win; see the __init__ rationale)
+            self.imh_every = 0
 
         if self.sample in ("mala", "hmc") and not like_traceable:
             raise ValueError(
@@ -684,8 +777,11 @@ class Sampler:
                           corr_threshold=self.corr_threshold,
                           calib_z=self.calib_z,
                           bias_budget=self.bias_budget,
+                          bias_rate=self.bias_rate,
+                          bias_floor=self.bias_floor,
                           live_stats=self._live_stats,
-                          n_leapfrog=self.n_leapfrog)
+                          n_leapfrog=self.n_leapfrog,
+                          imh_every=self.imh_every)
             # imh needs the flow; its (unreachable — precondition is
             # enforced) plain-space slot builds as tpcn
             cache["sweep_plain"] = make_sweep(
@@ -746,7 +842,8 @@ class Sampler:
             self.vectorize, id(self.prior),
             self.n_dim, self.n_active, self.n_steps, self.n_max_steps,
             self.plateau_z, self.corr_threshold, self.calib_z,
-            self.bias_budget, self.sample, self.n_leapfrog,
+            self.bias_budget, self.bias_rate, self.bias_floor,
+            self.imh_every, self.sample, self.n_leapfrog,
             self.preconditioned, self.metric, self.dynamic,
             float(self.dynamic_ratio), self.resample,
             self.flow._config_key,
@@ -868,15 +965,21 @@ class Sampler:
 
         self.n_total = int(n_total)
         self.n_evidence = int(n_evidence)
-        if self._corr_auto:
+        if self._corr_auto or self.bias_rate > 0.0:
             # ladder-grade decorrelation when the SMC persistent-sampling
             # ladder IS the evidence estimator (see __init__ rationale).
             # The engine programs bake corr_threshold into their traces
             # (_engine_key), so a change must re-fetch them — without the
-            # rebuild the new target silently never takes effect.
-            _ct = self._corr_auto_value(self.n_evidence)
-            if _ct != self.corr_threshold:
+            # rebuild the new target silently never takes effect. The
+            # bias_floor (rate-rule spending bound) tracks n_evidence the
+            # same way even under an explicit corr_threshold.
+            _ct = (self._corr_auto_value(self.n_evidence)
+                   if self._corr_auto else self.corr_threshold)
+            _bf = (self._bias_floor_value(self.n_evidence)
+                   if self.bias_rate > 0.0 else 0.0)
+            if _ct != self.corr_threshold or _bf != self.bias_floor:
                 self.corr_threshold = _ct
+                self.bias_floor = _bf
                 self._build_device_fns()
 
         if self.prior_samples is None:
@@ -1224,6 +1327,20 @@ class Sampler:
         self._resid_dev = jnp.float32(
             self.particles.get("resid", index=-1)
             if self.particles.past.get("resid") else 0.0)
+        # Adaptation scalars chained DEVICE-TO-DEVICE, like _resid_dev:
+        # the sweep's exit proposal scale feeds the next sweep and phase
+        # A's dynamic n_effective feeds the next phase A directly from
+        # the previous iteration's (possibly unsynced) device outputs.
+        # Routing them through the host sync made each iteration's
+        # inputs stale by up to 2*pipeline iterations — the reason depth
+        # > 1 measured SLOWER (a stale sigma forces the next sweep to
+        # re-adapt, and adaptation steps are likelihood calls). With the
+        # chain, the blocking stats sync is pure reporting and its
+        # cadence cannot perturb the trajectory; host mirrors
+        # (proposal_scale, n_effective) update at sync for checkpoints /
+        # diagnostics only.
+        self._sigma_dev = jnp.float32(self.proposal_scale)
+        self._neff_dev = jnp.float32(self.n_effective)
 
         def sync_batch(k):
             """Sync the oldest k pending iterations in ONE device_get (one
@@ -1319,12 +1436,13 @@ class Sampler:
                     or self.flow_untrained)
 
                 with self._trace("pocomc/reweight"):
-                    # resid_prev rides device-to-device from the previous
-                    # iteration's (possibly not-yet-synced) mutate stats
-                    # — the pipeline never blocks on it
-                    outA = progA(hist, jnp.float32(self.n_effective),
+                    # resid_prev / n_effective ride device-to-device from
+                    # the previous iteration's (possibly not-yet-synced)
+                    # outputs — the pipeline never blocks on them
+                    outA = progA(hist, self._neff_dev,
                                  jnp.float32(self.n_total),
                                  self._resid_dev)
+                self._neff_dev = outA["stats"][3]
                 if train_now:
                     with self._trace("pocomc/train"):
                         params, geom, _tstats = progB(
@@ -1338,11 +1456,12 @@ class Sampler:
                     hist, packed = progC(hist, outA["beta"], outA["logz"],
                                          outA["w_flat"], outA["u_sel"],
                                          outA["w_sel"],
-                                         jnp.float32(self.proposal_scale),
+                                         self._sigma_dev,
                                          self._geom_dev, flow_params,
                                          self._seed32(), self._scp(),
                                          outA["terminated"],
                                          outA["stats"])
+                self._sigma_dev = packed[fused.STATS_A_LEN + 3]
                 self._hist_dev = hist
                 # UNCONDITIONAL: gating this on the exit hot flag was
                 # measured and rejected (RESULTS.md round 3 "hot-gating
@@ -1553,7 +1672,8 @@ class Sampler:
                         i, cnt, sigma, corr=float(stats[4]),
                         hot=float(stats[5]) if len(stats) > 5 else 0.0,
                         resid=float(stats[6]) if len(stats) > 6 else 0.0,
-                        dbeta=dbeta):
+                        dbeta=dbeta,
+                        var_logl=float(stats[7]) if len(stats) > 7 else 0.0):
                     break
             finite = np.asarray(finite)
             logl_p = np.full(n, -np.inf)
@@ -1982,7 +2102,9 @@ class Sampler:
                       "n_steps", "n_max_steps", "plateau_z", "n_leapfrog",
                       "pipeline", "evidence_method", "corr_threshold",
                       "calib_z", "_corr_auto", "evidence_refine",
-                      "evidence_proposal", "evidence_nu", "bias_budget")
+                      "evidence_proposal", "evidence_nu", "bias_budget",
+                      "bias_rate", "_bias_rate_auto", "bias_floor",
+                      "imh_every", "_imh_auto")
 
     def state_dict(self):
         """Picklable snapshot: history, flow params, scaler/geometry
@@ -2016,7 +2138,8 @@ class Sampler:
         # would be wrong in both directions.
         program_keys = ("sample", "preconditioned", "n_active", "n_steps",
                         "n_max_steps", "plateau_z", "n_leapfrog",
-                        "corr_threshold", "calib_z", "bias_budget")
+                        "corr_threshold", "calib_z", "bias_budget",
+                        "bias_rate", "bias_floor", "imh_every")
         rebuild = any(k in state and state[k] != getattr(self, k)
                       for k in program_keys)
         for k in self._STATE_SCALARS:
@@ -2133,6 +2256,11 @@ class Sampler:
                               ("evidence_proposal", "auto"),
                               ("evidence_nu", 5.0),
                               ("evidence_proposal_used", None),
+                              ("bias_rate", 0.0),
+                              ("_bias_rate_auto", False),
+                              ("bias_floor", 0.0),
+                              ("imh_every", 0),
+                              ("_imh_auto", False),
                               ("_refine_round", 0)):
             self.__dict__.setdefault(attr, default)
         self.pool = None

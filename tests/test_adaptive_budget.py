@@ -349,12 +349,103 @@ def test_corr_threshold_auto_cost_aware_for_black_box():
 
     s2 = pc.Sampler(prior, like_jax, vectorize=True, flow="maf3")
     assert s2.likelihood_traceable
-    assert s2.corr_threshold == pytest.approx(0.5 * (10.0 / d) ** 2)
+    # traceable + auto: the bias_rate stopping rule is active, so the
+    # d-scaled blanket target relaxes to the 0.15 ladder-grade cap (the
+    # rate rule buys the hard-rung decorrelation instead)
+    assert s2.bias_rate > 0.0
+    assert s2.corr_threshold == 0.15
+    # with the rate rule explicitly off, the d-scaled target returns
+    s2b = pc.Sampler(prior, like_jax, vectorize=True, flow="maf3",
+                     bias_rate=0.0)
+    assert s2b.corr_threshold == pytest.approx(0.5 * (10.0 / d) ** 2)
 
     # explicit value wins over the cost-aware floor
     s3 = pc.Sampler(prior, like_np, flow="maf3", corr_threshold=0.02)
     assert not s3._corr_auto
     assert s3.corr_threshold == 0.02
+
+
+def test_bias_rate_auto_cost_aware():
+    """bias_rate=None resolves cost-aware like the corr target: active
+    (0.4) for traceable likelihoods where sweep steps are nearly free,
+    off for black-box likelihoods (their 0.15 target keeps
+    reference-scale call budgets). Explicit values win; calib_z=0
+    disables (reference-rule mode)."""
+    d = 25
+    prior = Prior([Normal(0, 5) for _ in range(d)])
+
+    def like_np(x):
+        x = np.asarray(x)
+        return -0.5 * float(np.sum(x * x))
+
+    def like_jax(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    s = pc.Sampler(prior, like_jax, vectorize=True, flow="maf3")
+    assert s._bias_rate_auto and s.bias_rate == pytest.approx(0.4)
+    # spending bound: the rate rule floors at the UNRELAXED blanket
+    # target (0.5*(10/d)^2 at d=25), so it can only reallocate the
+    # relaxed budget, never exceed the old d-scaled one
+    assert s.bias_floor == pytest.approx(0.5 * (10.0 / d) ** 2)
+
+    s2 = pc.Sampler(prior, like_np, flow="maf3")
+    assert s2._bias_rate_auto and s2.bias_rate == 0.0
+    assert s2.bias_floor == 0.0
+
+    s3 = pc.Sampler(prior, like_jax, vectorize=True, flow="maf3",
+                    bias_rate=1.5)
+    assert not s3._bias_rate_auto and s3.bias_rate == 1.5
+
+    s4 = pc.Sampler(prior, like_jax, vectorize=True, flow="maf3",
+                    calib_z=0.0)
+    assert s4.bias_rate == 0.0
+
+    with pytest.raises(ValueError, match="bias_rate"):
+        pc.Sampler(prior, like_jax, vectorize=True, bias_rate=-0.1)
+
+
+def test_bias_rate_extends_high_stakes_rungs_only():
+    """The bias-rate stopping rule (mcmc.py cond) keeps sweeping while
+    corr * dbeta * Var(logl) > bias_rate: a rung whose dbeta * Var is
+    large buys extra decorrelation steps; a rung with dbeta = 0 (the
+    beta = 1 stalls) pays nothing beyond the plateau/corr rules."""
+    prior = Prior([Normal(0.0, 3.0) for _ in range(D)])
+    scaler = Reparameterize(D, bounds=prior.bounds)
+
+    # wide likelihood scale => population Var(logl) is O(100)
+    def log_like(x):
+        return -5.0 * jnp.sum(x**2, axis=-1)
+
+    key = jax.random.key(0)
+    u = jax.random.normal(key, (N, D)) * 0.5
+    x, logdetj = scaler.inverse(u)
+    logl = log_like(x)
+    logp = prior.logpdf(x)
+    geom = fit_geometry_jax(u, weights=jnp.full((N,), 1.0 / N),
+                            key=jax.random.key(1))
+
+    def steps(bias_rate, dbeta, bias_floor=0.0):
+        sweep = make_sweep(
+            scaler=scaler, log_prior=prior.logpdf,
+            log_like=make_loglike_device(log_like, True, True),
+            n_dim=D, n_steps=2, n_max=80, kind="tpcn",
+            preconditioned=False, plateau_z=0.75,
+            corr_threshold=0.5, bias_rate=bias_rate,
+            bias_floor=bias_floor)
+        res = sweep(u, x, logdetj, logl, logp, jnp.float32(0.5),
+                    jnp.float32(0.05), geom, jax.random.key(3),
+                    dbeta=jnp.float32(dbeta))
+        return int(res["steps"])
+
+    s_off = steps(bias_rate=0.0, dbeta=0.1)
+    s_on = steps(bias_rate=0.05, dbeta=0.1)
+    s_stall = steps(bias_rate=0.05, dbeta=0.0)
+    s_floored = steps(bias_rate=0.05, dbeta=0.1, bias_floor=0.5)
+    assert s_on > s_off            # big dbeta * Var: rule buys steps
+    assert s_stall == s_off        # dbeta = 0: rule is free
+    # floor at the corr target: the rule may not demand decorrelation
+    # beyond the blanket, so it buys nothing extra
+    assert s_floored == s_off
 
 
 def test_khat_triggered_evidence_refinement(monkeypatch):
