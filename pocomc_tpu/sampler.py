@@ -172,6 +172,7 @@ class Sampler:
                  calib_z: float = 3.0,
                  bias_budget: float = None,
                  bias_rate: float = None,
+                 bias_floor: float = None,
                  imh_every: int = None,
                  resample: str = "mult",
                  evidence_method: str = "auto",
@@ -349,9 +350,16 @@ class Sampler:
             raise ValueError(
                 f"Invalid bias_rate {bias_rate!r}: must be >= 0.")
         self.bias_rate = float(bias_rate)
-        # Spending bound for the rate rule (resolved per-run in
-        # _build_device_fns once traceability/n_evidence are known).
-        self.bias_floor = 0.0
+        # Spending bound for the rate rule: the rule never demands corr
+        # below this. None -> derived per-run in _build_device_fns (the
+        # unrelaxed blanket auto target, once traceability/n_evidence
+        # are known); explicit values win and directly set the
+        # cost/accuracy point (per-rung spending ~ ln(0.5/floor)).
+        self._bias_floor_auto = bias_floor is None
+        if bias_floor is not None and not 0.0 <= float(bias_floor) <= 1.0:
+            raise ValueError(
+                f"Invalid bias_floor {bias_floor!r}: must be in [0, 1].")
+        self.bias_floor = 0.0 if bias_floor is None else float(bias_floor)
         # Independence-refresh cadence (mcmc.py imh_every): every k-th
         # tpcn sweep step proposes theta' ~ N(0, I) in the flow latent —
         # an accepted refresh erases walker memory outright, so the
@@ -665,8 +673,9 @@ class Sampler:
             # the probe above. Must happen before the programs below are
             # built/fetched — corr_threshold is baked into their traces.
             self.corr_threshold = self._corr_auto_value(self.n_evidence)
-        self.bias_floor = (self._bias_floor_value(self.n_evidence)
-                           if self.bias_rate > 0.0 else 0.0)
+        if getattr(self, "_bias_floor_auto", True):
+            self.bias_floor = (self._bias_floor_value(self.n_evidence)
+                               if self.bias_rate > 0.0 else 0.0)
         if getattr(self, "_imh_auto", False):
             # auto cadence: off until the measurement campaign pins a
             # default (explicit values win; see the __init__ rationale)
@@ -975,8 +984,10 @@ class Sampler:
             # same way even under an explicit corr_threshold.
             _ct = (self._corr_auto_value(self.n_evidence)
                    if self._corr_auto else self.corr_threshold)
-            _bf = (self._bias_floor_value(self.n_evidence)
-                   if self.bias_rate > 0.0 else 0.0)
+            _bf = self.bias_floor
+            if getattr(self, "_bias_floor_auto", True):
+                _bf = (self._bias_floor_value(self.n_evidence)
+                       if self.bias_rate > 0.0 else 0.0)
             if _ct != self.corr_threshold or _bf != self.bias_floor:
                 self.corr_threshold = _ct
                 self.bias_floor = _bf
@@ -2104,7 +2115,7 @@ class Sampler:
                       "calib_z", "_corr_auto", "evidence_refine",
                       "evidence_proposal", "evidence_nu", "bias_budget",
                       "bias_rate", "_bias_rate_auto", "bias_floor",
-                      "imh_every", "_imh_auto")
+                      "_bias_floor_auto", "imh_every", "_imh_auto")
 
     def state_dict(self):
         """Picklable snapshot: history, flow params, scaler/geometry
@@ -2259,6 +2270,7 @@ class Sampler:
                               ("bias_rate", 0.0),
                               ("_bias_rate_auto", False),
                               ("bias_floor", 0.0),
+                              ("_bias_floor_auto", True),
                               ("imh_every", 0),
                               ("_imh_auto", False),
                               ("_refine_round", 0)):

@@ -403,6 +403,13 @@ def test_bias_rate_auto_cost_aware():
     with pytest.raises(ValueError, match="bias_rate"):
         pc.Sampler(prior, like_jax, vectorize=True, bias_rate=-0.1)
 
+    # explicit bias_floor wins over the derived unrelaxed blanket value
+    s5 = pc.Sampler(prior, like_jax, vectorize=True, flow="maf3",
+                    bias_floor=0.06)
+    assert not s5._bias_floor_auto and s5.bias_floor == 0.06
+    with pytest.raises(ValueError, match="bias_floor"):
+        pc.Sampler(prior, like_jax, vectorize=True, bias_floor=1.5)
+
 
 def test_bias_rate_extends_high_stakes_rungs_only():
     """The bias-rate stopping rule (mcmc.py cond) keeps sweeping while

@@ -67,3 +67,46 @@ def test_imh_requires_preconditioning():
         pc.Sampler(pc.Prior([pc.Normal(0, 1), pc.Normal(0, 1)]),
                    lambda x: -jnp.sum(x**2, axis=-1), sample="imh",
                    precondition=False)
+
+def test_imh_refresh_mixing_preserves_target_and_decorrelates():
+    """imh_every (mixed kernel): end-to-end evidence/posterior stay
+    correct on a known-answer Gaussian, and the refresh steps make the
+    sweep reach the decorrelation target in fewer steps (the rationale:
+    an accepted independence move erases walker memory outright)."""
+    from scipy.stats import norm
+    d = 4
+
+    def loglike(x):
+        return (-0.5 * jnp.sum(x**2, axis=-1)
+                - d / 2 * jnp.log(2 * jnp.pi))
+
+    expect = d * norm.logpdf(0, 0, np.sqrt(26.0))
+    prior = pc.Prior([pc.Normal(0, 5) for _ in range(d)])
+    calls = {}
+    for ie in (0, 2):
+        s = pc.Sampler(prior, loglike, vectorize=True, random_state=0,
+                       n_effective=256, n_active=128, imh_every=ie,
+                       corr_threshold=0.1, flow="nsf3",
+                       train_config={"epochs": 40, "patience": 5})
+        assert s.imh_every == ie
+        s.run(n_total=512, n_evidence=512, progress=False)
+        assert s.logz == pytest.approx(expect, abs=0.4)
+        calls[ie] = s.calls
+    # no call blow-up from the mixed kernel. (At low d the tpcn cap is
+    # already ~0.99 = near-independence, so refresh can't WIN here; its
+    # measured speedup regime is high-d sigma-capped sweeps — gauss50
+    # dose-response, RESULTS.md round 4 "independence refresh".)
+    assert calls[2] < 1.5 * calls[0]
+
+
+def test_imh_every_validation_and_plain_space_noop():
+    with pytest.raises(ValueError, match="imh_every"):
+        pc.Sampler(pc.Prior([pc.Normal(0, 1), pc.Normal(0, 1)]),
+                   lambda x: -jnp.sum(x**2, axis=-1), imh_every=-1)
+    # precondition=False: the cadence is silently inert (plain-space
+    # sweeps have no flow latent to refresh from)
+    s = pc.Sampler(pc.Prior([pc.Normal(0, 1), pc.Normal(0, 1)]),
+                   lambda x: -jnp.sum(x**2, axis=-1), vectorize=True,
+                   imh_every=3, precondition=False)
+    s.run(n_total=256, n_evidence=0, progress=False)
+    assert np.isfinite(s.particles.compute_logw_and_logz(1.0)[1])
