@@ -69,6 +69,19 @@ class SweepState(NamedTuple):
                                 # log pi_v - log t_geom (nats): the
                                 # geometry-fit statistic driving the
                                 # adaptive sigma cap (tpcn only; 0 else)
+    fresh: jnp.ndarray          # per-walker flag: 1.0 once the walker
+                                # accepted an independence refresh
+                                # (imh_every) since the last drift-window
+                                # snapshot. A refreshed walker's paired
+                                # displacement is a fresh flow draw, not
+                                # local relaxation — it would inflate the
+                                # paired variances and BLIND the drift
+                                # test (measured: funnel25 ladder
+                                # -1.65 -> -2.29 with refresh unmasked,
+                                # rungs 34 -> 22; RESULTS.md round 4
+                                # "independence refresh"), so the window
+                                # statistics exclude it. Reset at each
+                                # window close.
     dbeta: jnp.ndarray          # current rung size beta_t - beta_{t-1}
                                 # (constant through the sweep): yardstick
                                 # for the bias-budget stopping rule (see
@@ -195,6 +208,10 @@ def make_sweep(
                                         # per-rung spending is bounded by
                                         # what the d-scaled blanket would
                                         # have spent; 0 = no floor
+    plateau_floor: float = 4.0,         # minimum plateau window (steps of
+                                        # consecutive non-improvement
+                                        # before the plateau rule can
+                                        # stop a sweep); see `cond`
     live_stats: bool = False,           # per-step tap via jax.debug.callback
     n_leapfrog: int = 5,                # hmc only: leapfrog steps/proposal
     imh_every: int = 0,                 # tpcn+preconditioned only: every
@@ -646,10 +663,28 @@ def make_sweep(
         # moves mean logl either way. At stationarity every statistic is
         # a calibrated N(0,1) and the test goes quiet, so easy targets
         # exit on the plateau rule before a second window even closes.
+        # Per-walker refresh flags (imh_every): an ACCEPTED independence
+        # move replaces the walker with a fresh flow draw; its paired
+        # displacement is not local relaxation. Unmasked, those rows
+        # inflate the paired variances and blind the drift test exactly
+        # where it guards rung placement (measured, funnel25: ladder
+        # -1.65 -> -2.29, rungs 34 -> 22; RESULTS.md round 4
+        # "independence refresh"). MH itself protects poorly-covered
+        # regions (a refresh OUT of a neck is rejected), so the walkers
+        # that still carry coherent drift are exactly the never-refreshed
+        # ones the masked test keeps.
+        if imh_every > 0:
+            fresh_upd = jnp.where(prop["use_imh"],
+                                  jnp.maximum(st.fresh,
+                                              accept.astype(sigma.dtype)),
+                                  st.fresh)
+        else:
+            fresh_upd = st.fresh
         if calib_z > 0.0:
             i1i = st.i + 1
             full = (i1i - st.i_snap) >= CALIB_W
-            ok = jnp.isfinite(logl) & jnp.isfinite(st.logl_snap)
+            ok = (jnp.isfinite(logl) & jnp.isfinite(st.logl_snap)
+                  & (fresh_upd < 0.5))
             nn = jnp.maximum(jnp.sum(ok), 2).astype(sigma.dtype)
             dl = jnp.where(ok, logl - st.logl_snap, 0.0)
             D = jnp.sum(dl) / nn
@@ -660,15 +695,21 @@ def make_sweep(
             # (funnel-type geometries expand a marginal's spread long
             # after its mean has settled); max over 2d scores gets a +1
             # threshold inflation for multiple testing (the max of ~2d
-            # null z's concentrates near sqrt(2 ln 2d))
-            du = u - st.u_snap
-            Dm = jnp.mean(du, axis=0)
+            # null z's concentrates near sqrt(2 ln 2d)); refresh-masked
+            # row moments, like the logl stats above
+            w_ok = ok.astype(sigma.dtype)[:, None]
+            du = (u - st.u_snap) * w_ok
+            Dm = jnp.sum(du, axis=0) / nn
+            var_mrow = jnp.sum(w_ok * (u - st.u_snap - Dm) ** 2,
+                               axis=0) / nn
             z_m = jnp.abs(Dm) / jnp.maximum(
-                jnp.std(du, axis=0) / jnp.sqrt(1.0 * n), 1e-30)
-            ds = u ** 2 - st.u_snap ** 2
-            Dv = jnp.mean(ds, axis=0)
+                jnp.sqrt(var_mrow / nn), 1e-30)
+            ds = (u ** 2 - st.u_snap ** 2) * w_ok
+            Dv = jnp.sum(ds, axis=0) / nn
+            var_vrow = jnp.sum(w_ok * (u ** 2 - st.u_snap ** 2 - Dv) ** 2,
+                               axis=0) / nn
             z_v = jnp.abs(Dv) / jnp.maximum(
-                jnp.std(ds, axis=0) / jnp.sqrt(1.0 * n), 1e-30)
+                jnp.sqrt(var_vrow / nn), 1e-30)
             z_dim = jnp.maximum(jnp.max(z_m), jnp.max(z_v))
             fired = ((z_logl > calib_z)
                      | (z_dim > calib_z + 1.0)).astype(sigma.dtype)
@@ -700,16 +741,21 @@ def make_sweep(
             i_snap = jnp.where(full, i1i, st.i_snap)
             z_logl_st = jnp.where(full, z_logl, st.z_logl)
             z_dim_st = jnp.where(full, z_dim, st.z_dim)
+            # window close re-snapshots every walker, including refreshed
+            # ones — their NEXT paired displacement is local again
+            fresh_new = jnp.where(full, jnp.zeros_like(fresh_upd),
+                                  fresh_upd)
         else:
             hot, resid = st.hot, st.resid
             u_snap, logl_snap, i_snap = st.u_snap, st.logl_snap, st.i_snap
             z_logl_st, z_dim_st = st.z_logl, st.z_dim
+            fresh_new = fresh_upd
 
         new_st = SweepState(u, x, logdetj, logl, logp, theta, ldjf,
                             sigma, mu, grad, st.i + 1, cnt, logp2, calls,
                             alpha_mean, st.v0, corr, u_snap, logl_snap,
                             i_snap, hot, resid, z_logl_st, z_dim_st,
-                            misfit_st, st.dbeta, prop["key"])
+                            misfit_st, fresh_new, st.dbeta, prop["key"])
         # masked population variance of logl: the bias-rate stopping
         # rule's third factor (see `cond`), shipped to the stepped host
         # driver in the same packed transfer
@@ -734,14 +780,15 @@ def make_sweep(
             # With the tpcn cap freed above 2.38/sqrt(d), ratio < 1
             # SHRINKS the plateau window below n_steps — correct (near-
             # independent proposals equilibrate in O(1) steps) but floored
-            # at 4 so the consecutive-non-improvement count keeps enough
-            # samples to be a statistic at all (4 vs 5 measured on the
-            # quickstart across 5 seeds: calls 60.9k -> 55.3k median at
-            # unchanged logz, with the corr criterion and khat-triggered
-            # refinement backstopping the occasional under-trained flow;
-            # RESULTS.md round 3 defaults campaign).
+            # at plateau_floor so the consecutive-non-improvement count
+            # keeps enough samples to be a statistic at all (5 -> 4
+            # measured on the quickstart across 5 seeds: calls 60.9k ->
+            # 55.3k median at unchanged logz, with the corr criterion and
+            # khat-triggered refinement backstopping the occasional
+            # under-trained flow; RESULTS.md round 3 defaults campaign).
             thresh = jnp.maximum(n_steps * ratio**2, jnp.minimum(
-                jnp.asarray(n_steps, st.sigma.dtype), 4.0))
+                jnp.asarray(n_steps, st.sigma.dtype),
+                jnp.asarray(plateau_floor, st.sigma.dtype)))
         keep = st.cnt < thresh
         if corr_threshold > 0.0:
             # Adaptive mutation budget: the plateau rule alone stops the
@@ -847,7 +894,7 @@ def make_sweep(
             ratio = sqrt_d_scale / sigma
             if kind == "rwm" and preconditioned:
                 ratio = min(1.0, ratio)
-            thresh = max(n_steps * ratio**2, min(n_steps, 4.0))
+            thresh = max(n_steps * ratio**2, min(n_steps, plateau_floor))
         thr_eff = corr_threshold
         floor_eff = bias_floor
         if kind == "tpcn":
@@ -912,6 +959,7 @@ def make_sweep(
             z_logl=jnp.asarray(0.0, dtype),
             z_dim=jnp.asarray(0.0, dtype),
             misfit=jnp.asarray(0.0, dtype),
+            fresh=jnp.zeros(n, dtype),
             dbeta=jnp.asarray(dbeta, dtype), key=key,
         )
 
@@ -943,7 +991,8 @@ def make_sweep(
         if calib_z <= 0.0:
             return final.resid
         gap = final.i - final.i_snap
-        ok = jnp.isfinite(final.logl) & jnp.isfinite(final.logl_snap)
+        ok = (jnp.isfinite(final.logl) & jnp.isfinite(final.logl_snap)
+              & (final.fresh < 0.5))
         nn = jnp.maximum(jnp.sum(ok), 2).astype(final.sigma.dtype)
         dl = jnp.where(ok, final.logl - final.logl_snap, 0.0)
         D = jnp.sum(dl) / nn

@@ -85,6 +85,11 @@ _ENGINE_CACHE_MAX = 8
 # mcmc.py `cond`). Calibrated on the north-star suite (RESULTS.md
 # round 4 "bias-rate budget loop").
 _BIAS_RATE_DEFAULT = 0.4
+# Auto decorrelation floor of the bias_rate rule (see _bias_floor_value):
+# the measured cost/accuracy knee of the floor dose-response on the
+# gauss50/cosmo30 north stars (RESULTS.md round 4 "bias-rate budget
+# loop").
+_BIAS_FLOOR_DEFAULT = 0.10
 
 
 def callbacks_supported() -> bool:
@@ -168,6 +173,7 @@ class Sampler:
                  n_steps: int = None,
                  n_max_steps: int = None,
                  plateau_z: float = 0.75,
+                 plateau_floor: float = 4.0,
                  corr_threshold: float = None,
                  calib_z: float = 3.0,
                  bias_budget: float = None,
@@ -262,6 +268,14 @@ class Sampler:
         # The default requires a 0.75-sigma real improvement. See
         # mcmc.py accept_update.
         self.plateau_z = float(plateau_z)
+        # Minimum plateau window (consecutive non-improving steps before
+        # the plateau rule may stop a sweep); see mcmc.py `cond` for the
+        # measured 5 -> 4 dose-response. Exposed for cost/accuracy tuning
+        # alongside n_steps.
+        if float(plateau_floor) < 1.0:
+            raise ValueError(
+                f"Invalid plateau_floor {plateau_floor!r}: must be >= 1.")
+        self.plateau_floor = float(plateau_floor)
         # Adaptive mutation budget (beyond reference): a sweep may stop
         # only once the MAX over dims of |corr(start, now)| has fallen
         # below this threshold (max, not mean: averaging dilutes a
@@ -352,8 +366,9 @@ class Sampler:
         self.bias_rate = float(bias_rate)
         # Spending bound for the rate rule: the rule never demands corr
         # below this. None -> derived per-run in _build_device_fns (the
-        # unrelaxed blanket auto target, once traceability/n_evidence
-        # are known); explicit values win and directly set the
+        # unrelaxed blanket auto target raised to the measured 0.10
+        # knee, once traceability/n_evidence are known; see
+        # _bias_floor_value); explicit values win and directly set the
         # cost/accuracy point (per-rung spending ~ ln(0.5/floor)).
         self._bias_floor_auto = bias_floor is None
         if bias_floor is not None and not 0.0 <= float(bias_floor) <= 1.0:
@@ -627,14 +642,22 @@ class Sampler:
     def _bias_floor_value(self, n_evidence=None):
         """Decorrelation floor for the bias_rate stopping rule: the
         UNRELAXED blanket auto target (what _corr_auto_value would return
-        with the rate rule off). The rule never demands corr below this,
-        so per-rung spending is bounded by what the old d-scaled blanket
-        would have paid at that rung — the rate rule reallocates the
-        relaxed budget to high-stakes rungs, it cannot exceed the old
-        one. Without the floor the rule pinned quickstart's early rungs
+        with the rate rule off), raised to the measured 0.10
+        cost/accuracy knee. The rule never demands corr below this.
+        Without any floor the rule pinned quickstart's early rungs
         (Var(logl) ~ 1e6, actual rung error ~0) at n_max: 5.8x calls
-        (.round4/exp3, RESULTS.md round 4 "bias-rate budget loop")."""
+        (.round4/exp3). With the floor AT the old blanket target the rule
+        could only reallocate the old budget — still brute-force at high
+        d (gauss50 27.2M calls for +0.113 raw-ladder err). The 0.10 knee
+        is where the dose-response bends (gauss50: floor 0.05 -> 25.4M
+        calls / +0.024, 0.10 -> 6.95M / +0.212, 0.15=inert -> 5.0M /
+        +0.301; cosmo30 at 0.10: 1.73M calls / smcZ +0.107 vs 17.8M at
+        the round-3 blanket; RESULTS.md round 4 "bias-rate budget
+        loop"). At d <= ~18 the blanket target itself is >= 0.15, the
+        floor meets the (relaxed) threshold and the rule is provably
+        inert — easy low-d targets keep the plateau-rule call count."""
         base = min(0.5, max(0.02, 0.5 * (10.0 / self.n_dim) ** 2))
+        base = max(base, _BIAS_FLOOR_DEFAULT)
         if n_evidence == 0:
             base = min(base, 0.15)
         if not getattr(self, "likelihood_traceable", True):
@@ -783,6 +806,7 @@ class Sampler:
                           log_like=loglike_dev, n_dim=self.n_dim,
                           n_steps=self.n_steps, n_max=self.n_max_steps,
                           plateau_z=self.plateau_z,
+                          plateau_floor=self.plateau_floor,
                           corr_threshold=self.corr_threshold,
                           calib_z=self.calib_z,
                           bias_budget=self.bias_budget,
@@ -850,7 +874,8 @@ class Sampler:
                          for k, v in like.kwargs.items())),
             self.vectorize, id(self.prior),
             self.n_dim, self.n_active, self.n_steps, self.n_max_steps,
-            self.plateau_z, self.corr_threshold, self.calib_z,
+            self.plateau_z, self.plateau_floor,
+            self.corr_threshold, self.calib_z,
             self.bias_budget, self.bias_rate, self.bias_floor,
             self.imh_every, self.sample, self.n_leapfrog,
             self.preconditioned, self.metric, self.dynamic,
@@ -2110,7 +2135,8 @@ class Sampler:
                       "resample", "dynamic", "train_frequency", "have_blobs",
                       # added later (loaders tolerate their absence in
                       # older state dicts)
-                      "n_steps", "n_max_steps", "plateau_z", "n_leapfrog",
+                      "n_steps", "n_max_steps", "plateau_z",
+                      "plateau_floor", "n_leapfrog",
                       "pipeline", "evidence_method", "corr_threshold",
                       "calib_z", "_corr_auto", "evidence_refine",
                       "evidence_proposal", "evidence_nu", "bias_budget",
@@ -2148,7 +2174,8 @@ class Sampler:
         # constructor's kernel while reporting the checkpoint's config
         # would be wrong in both directions.
         program_keys = ("sample", "preconditioned", "n_active", "n_steps",
-                        "n_max_steps", "plateau_z", "n_leapfrog",
+                        "n_max_steps", "plateau_z", "plateau_floor",
+                        "n_leapfrog",
                         "corr_threshold", "calib_z", "bias_budget",
                         "bias_rate", "bias_floor", "imh_every")
         rebuild = any(k in state and state[k] != getattr(self, k)
@@ -2256,6 +2283,7 @@ class Sampler:
         # pickles from every earlier version unpickle and run
         for attr, default in (("pipeline", 1), ("n_leapfrog", 5),
                               ("device_loop", "auto"), ("plateau_z", 0.75),
+                              ("plateau_floor", 4.0),
                               ("evidence_method", "is"),
                               ("evidence_khat", None),
                               ("evidence_method_used", None),
