@@ -423,7 +423,7 @@ class Sampler:
         self.flow = Flow(self.n_dim, flow) if isinstance(flow, str) else flow
         self.train_config = dict(validation_split=0.5,
                                  epochs=5000,
-                                 batch_size=int(min(self.n_effective // 2, 512)),
+                                 batch_size=1024,
                                  patience=int(self.n_dim),
                                  learning_rate=1e-3,
                                  annealing=False,
