@@ -153,12 +153,46 @@ def cosmo30_logz(betas):
     return gauss_logz(betas, 30, 2, 20.0)
 
 
+def mixture20_logz(betas, d=20, sep=2.0, sig=1.0, w1=0.7, ps=10.0):
+    """Two-component 70/30 Gaussian mixture at +-sep*ones(d), N(0,ps^2 I)
+    prior — EXACT (not mode-split): both modes lie on the ones-diagonal,
+    so logL depends on x only through t = sum(x) and s = |x|^2:
+
+      logL = -s/(2 sig^2) - c + g(t),
+      g(t) = logaddexp(log w1 + sep t / sig^2, log(1-w1) - sep t / sig^2),
+      c = d sep^2 / (2 sig^2) + (d/2) log(2 pi sig^2).
+
+    Under the prior, t ~ N(0, d ps^2) and s = t^2/d + q with independent
+    q ~ ps^2 chi^2_{d-1}; E[exp(-beta q / (2 sig^2))] is closed-form, so
+    Z(beta) = (1 + beta ps^2/sig^2)^{-(d-1)/2} e^{-beta c}
+              * int N(t|0, d ps^2) exp(-beta t^2/(2 d sig^2) + beta g(t)) dt
+    — 1-D trapezoid quadrature over t, every mixture-overlap term kept.
+    """
+    w2 = 1.0 - w1
+    s2 = sig**2
+    t = np.linspace(-400.0, 400.0, 200001)
+    wt = np.gradient(t)
+    log_nt = -0.5 * t**2 / (d * ps**2) - 0.5 * np.log(2 * np.pi * d * ps**2)
+    g = np.logaddexp(np.log(w1) + sep * t / s2, np.log(w2) - sep * t / s2)
+    c = 0.5 * d * sep**2 / s2 + 0.5 * d * np.log(2 * np.pi * s2)
+    out = np.empty(len(betas))
+    for i, b in enumerate(np.asarray(betas, dtype=np.float64)):
+        if b == 0.0:
+            out[i] = 0.0
+            continue
+        la = log_nt - 0.5 * b * t**2 / (d * s2) + b * g
+        out[i] = (_logsumexp_w(la, wt) - b * c
+                  - 0.5 * (d - 1) * np.log1p(b * ps**2 / s2))
+    return out
+
+
 ORACLES = {
     "quickstart": quickstart_logz,
     "rosenbrock10": rosenbrock10_logz,
     "funnel25": funnel25_logz,
     "gauss50": gauss50_logz,
     "cosmo30": cosmo30_logz,
+    "mixture20": mixture20_logz,
 }
 
 
@@ -203,6 +237,15 @@ if __name__ == "__main__":
     e50 = multivariate_normal.logpdf(np.zeros(50), np.zeros(50),
                                      cov + 1e4 * np.eye(50))
     print("gauss50     logZ(1) =", gauss50_logz([1.0])[0], " expect", e50)
+
+    # mixture20 endpoint: w1+w2=1 with symmetric modes => per-component
+    # closed form (baseline_configs.py mixture20)
+    d_m, sep_m, sig_m, ps_m = 20, 2.0, 1.0, 10.0
+    var_m = sig_m**2 + ps_m**2
+    e_mix = (-0.5 * d_m * sep_m**2 / var_m
+             - (d_m / 2) * np.log(2 * np.pi * var_m))
+    print("mixture20   logZ(1) =", mixture20_logz([1.0])[0],
+          " expect", e_mix)
     # mid-ladder sanity: monotone decreasing in beta, logZ(0)=0
     bs = np.array([0.0, 1e-4, 1e-2, 0.1, 0.5, 1.0])
     for nm, fn in ORACLES.items():

@@ -96,6 +96,11 @@ class SweepState(NamedTuple):
 # second window.
 CALIB_W = 6
 
+# Minimum never-refreshed rows for the drift test to be a statistic at
+# all (imh_every > 0 masks refreshed walkers out of the paired-drift
+# windows; see the `enough` guard in accept_update).
+MIN_CALIB_N = 16
+
 
 # --- live per-step sweep statistics tap ---------------------------------
 # The reference prints calls/acc/steps DURING a sweep (mcmc.py:159-167);
@@ -685,6 +690,19 @@ def make_sweep(
             full = (i1i - st.i_snap) >= CALIB_W
             ok = (jnp.isfinite(logl) & jnp.isfinite(st.logl_snap)
                   & (fresh_upd < 0.5))
+            # Refresh-dominated windows (imh_every with a well-fit
+            # flow): at high independence-move acceptance nearly every
+            # walker refreshes within one window — P(never refreshed
+            # over CALIB_W steps) ~ (1-acc)^(CALIB_W/imh_every), e.g.
+            # 0.008 at acc=0.8, imh_every=2 — and the masked test is
+            # left with 1-2 rows whose heavy-tailed z's fire
+            # spuriously, pinning hot=1 and stretching 4-step sweeps
+            # to 40+ (measured: d=4 Gaussian, calls 9.2k -> 17.5k;
+            # .round5/ablate_imh.py). A mostly-refreshed population is
+            # decorrelated BY CONSTRUCTION, so the window reads QUIET
+            # (and resid -> 0) unless enough never-refreshed rows
+            # exist for the drift statistics to mean anything.
+            enough = jnp.sum(ok) >= min(MIN_CALIB_N, max(2, n // 8))
             nn = jnp.maximum(jnp.sum(ok), 2).astype(sigma.dtype)
             dl = jnp.where(ok, logl - st.logl_snap, 0.0)
             D = jnp.sum(dl) / nn
@@ -711,6 +729,10 @@ def make_sweep(
             z_v = jnp.abs(Dv) / jnp.maximum(
                 jnp.sqrt(var_vrow / nn), 1e-30)
             z_dim = jnp.maximum(jnp.max(z_m), jnp.max(z_v))
+            # `enough` guard (see above): too few never-refreshed rows
+            # -> the z's are not statistics; read the window as quiet
+            z_logl = jnp.where(enough, z_logl, 0.0)
+            z_dim = jnp.where(enough, z_dim, 0.0)
             fired = ((z_logl > calib_z)
                      | (z_dim > calib_z + 1.0)).astype(sigma.dtype)
             hot = jnp.where(full, fired, st.hot)
@@ -735,7 +757,10 @@ def make_sweep(
             v1v = jnp.sum(jnp.where(ok, (l1c - m1) ** 2, 0.0)) / nn
             rho_w = cov01 / jnp.maximum(jnp.sqrt(v0v * v1v), 1e-30)
             rho_w = jnp.clip(rho_w, 0.0, 0.9)
-            resid = jnp.where(full, D * rho_w / (1.0 - rho_w), st.resid)
+            resid = jnp.where(
+                full,
+                jnp.where(enough, D * rho_w / (1.0 - rho_w), 0.0),
+                st.resid)
             u_snap = jnp.where(full, u, st.u_snap)
             logl_snap = jnp.where(full, logl, st.logl_snap)
             i_snap = jnp.where(full, i1i, st.i_snap)

@@ -15,6 +15,7 @@ pools exist for likelihoods that must run as host processes.
 
 from __future__ import annotations
 
+import atexit
 import sys
 
 
@@ -45,6 +46,11 @@ class MPIPool:
             self.wait()
             sys.exit(0)
         self.workers = set(range(self.comm.size)) - {self.master}
+        self._closed = False
+        # Safety net matching the reference (parallel.py:54): a master
+        # that exits without close() would otherwise leave every worker
+        # blocked in recv() forever.
+        atexit.register(self.close)
 
     def is_master(self):
         return self.rank == self.master
@@ -78,16 +84,13 @@ class MPIPool:
         status = self.MPI.Status()
 
         while pending > 0:
-            if workerset and tasklist:
+            # hand one task to every free worker, then BLOCK for the
+            # next result — no Iprobe busy-wait while all workers are
+            # busy (the reference blocks in Probe there, parallel.py:139)
+            while workerset and tasklist:
                 worker = workerset.pop()
                 taskid, task = tasklist.pop()
                 self.comm.send(task, dest=worker, tag=taskid)
-
-            if tasklist:
-                flag = self.comm.Iprobe(source=self.MPI.ANY_SOURCE,
-                                        tag=self.MPI.ANY_TAG)
-                if not flag:
-                    continue
 
             result = self.comm.recv(source=self.MPI.ANY_SOURCE,
                                     tag=self.MPI.ANY_TAG, status=status)
@@ -100,9 +103,13 @@ class MPIPool:
         return results
 
     def close(self):
-        if self.is_master():
-            for worker in self.workers:
-                self.comm.send(None, dest=worker, tag=0)
+        """Send poison pills once; idempotent (also runs via atexit)."""
+        if not self.is_master() or self._closed:
+            return
+        self._closed = True
+        atexit.unregister(self.close)
+        for worker in self.workers:
+            self.comm.send(None, dest=worker, tag=0)
 
     def __enter__(self):
         return self

@@ -89,6 +89,37 @@ def test_context_manager(pool):
     assert len(pool.comm.closed) == len(pool.workers)
 
 
+def test_close_idempotent(pool):
+    pool.close()
+    pool.close()  # second close must not re-send poison pills
+    assert sorted(pool.comm.closed) == sorted(pool.workers)
+
+
+def test_atexit_safety_net(pool):
+    """A master that never calls close() still poisons the workers at
+    interpreter exit (reference parallel.py:54)."""
+    import atexit
+    # the pool registered its close at construction; firing the atexit
+    # callback directly stands in for interpreter shutdown
+    pool_close_registered = pool._closed is False
+    assert pool_close_registered
+    atexit.unregister(pool.close)  # avoid double-fire after the test
+    pool.close()
+    assert sorted(pool.comm.closed) == sorted(pool.workers)
+
+
+def test_map_blocks_without_iprobe(pool):
+    """The master loop must not require Iprobe (no busy-wait): a comm
+    without Iprobe at all still completes map()."""
+    del FakeComm.Iprobe
+    try:
+        xs = list(range(9))
+        assert pool.map(lambda v: v + 2, xs) == [v + 2 for v in xs]
+    finally:
+        FakeComm.Iprobe = lambda self, source=None, tag=None: bool(
+            self._results)
+
+
 def test_single_process_comm_rejected(monkeypatch):
     fake_mpi = types.SimpleNamespace(
         COMM_WORLD=FakeComm(size=1),
