@@ -41,6 +41,15 @@ def _tpu_peak_flops():
     return next((v for k, v in peaks.items() if k in kind), None)
 
 
+def _rosenbrock_loglike():
+    import jax.numpy as jnp
+
+    def log_like(x):
+        return -jnp.sum(100.0 * (x[..., 1:] - x[..., :-1] ** 2) ** 2
+                        + (1.0 - x[..., :-1]) ** 2, axis=-1)
+    return log_like
+
+
 def _sweep_step_flops(n_active, n_dim=10, flow_name="nsf6"):
     """XLA-counted flops of ONE t-pCN sweep step (propose + likelihood +
     accept) at the given population size, per particle-step.
@@ -63,9 +72,7 @@ def _sweep_step_flops(n_active, n_dim=10, flow_name="nsf6"):
         scaler = Reparameterize(n_dim, bounds=prior.bounds)
         flow = Flow(n_dim, flow_name, seed=0)
 
-        def log_like(x):
-            return -jnp.sum(100.0 * (x[..., 1:] - x[..., :-1] ** 2) ** 2
-                            + (1.0 - x[..., :-1]) ** 2, axis=-1)
+        log_like = _rosenbrock_loglike()
 
         loglike_dev = make_loglike_device(log_like, True, True)
         sweep = make_sweep(scaler=scaler, log_prior=prior.logpdf,
@@ -161,8 +168,10 @@ def bench_quickstart():
     print(json.dumps(out))
 
 
-def bench_kernel():
-    """Kernel throughput: fixed-length t-pCN sweep at 4096 particles."""
+def _bench_sweep(n_dim, flow_name, n_active, n_steps_fixed, k_chain,
+                 n_rep, metric, baseline=None):
+    """Fixed-length t-pCN sweep throughput at the given shape (K-chained
+    device_get timing; CLAUDE.md methodology). Returns the result dict."""
     import jax
     import jax.numpy as jnp
     from pocomc_tpu.mcmc import make_sweep, make_loglike_device
@@ -171,17 +180,11 @@ def bench_kernel():
     from pocomc_tpu.scaler import Reparameterize
     from pocomc_tpu.prior import Prior, Normal
 
-    n_dim = 10
-    n_active = 4096
-    n_steps_fixed = 16  # fixed-length sweep for a clean throughput number
-
     prior = Prior([Normal(0.0, 3.0) for _ in range(n_dim)])
     scaler = Reparameterize(n_dim, bounds=prior.bounds)
-    flow = Flow(n_dim, "nsf6", seed=0)
+    flow = Flow(n_dim, flow_name, seed=0)
 
-    def log_like(x):  # 10-D Rosenbrock (chained variant)
-        return -jnp.sum(100.0 * (x[..., 1:] - x[..., :-1] ** 2) ** 2
-                        + (1.0 - x[..., :-1]) ** 2, axis=-1)
+    log_like = _rosenbrock_loglike()
 
     loglike_dev = make_loglike_device(log_like, True, True)
     # plateau disabled (huge n_steps) so the sweep runs exactly n_max steps
@@ -201,11 +204,9 @@ def bench_kernel():
     geom = fit_geometry_jax(u, weights=w, key=k2)
 
     # K data-dependent sweeps chained inside ONE jitted program: a single
-    # ~40 ms sweep per timed call would be contaminated by the tunnel's
+    # short sweep per timed call would be contaminated by the tunnel's
     # 10-75 ms round-trip latency (CLAUDE.md timing methodology); the
     # chain amortizes one RTT over K sweeps of real device work.
-    k_chain = 4
-
     def run_chain(key):
         def body(carry, k):
             u_c, x_c, ldj_c, logl_c, logp_c = carry
@@ -226,7 +227,6 @@ def bench_kernel():
     # median over reps (the TPU link has rare multi-second stall episodes
     # that would corrupt a mean); each rep ends with a device_get ROUND
     # TRIP — block_until_ready can ack at enqueue on this backend.
-    n_rep = 7
     dts = []
     for i in range(n_rep):
         t0 = time.perf_counter()
@@ -243,28 +243,52 @@ def bench_kernel():
     # efficiency: the wall includes one tunnel round trip per rep, and
     # the bf16 peak is quoted while flow matmuls run at f32 precision
     # (~3 MXU passes per logical flop).
-    fpp = _sweep_step_flops(n_active)
+    fpp = _sweep_step_flops(n_active, n_dim=n_dim, flow_name=flow_name)
     peak = _tpu_peak_flops()
 
-    baseline = 343.0  # reference CPU particle-steps/sec (BASELINE.md)
     out = {
-        "metric": "tpcn_particle_steps_per_sec_rosenbrock10_nsf6",
+        "metric": metric,
         "value": round(particle_steps_per_sec, 1),
         "unit": "particle-steps/sec",
-        "vs_baseline": round(particle_steps_per_sec / baseline, 2),
     }
+    if baseline:
+        out["vs_baseline"] = round(particle_steps_per_sec / baseline, 2)
     if fpp:
         out["flops_per_particle_step"] = round(fpp, 1)
         if peak:
             out["mfu_vs_bf16_peak"] = float(
                 f"{fpp * particle_steps_per_sec / peak:.3g}")
     print(json.dumps(out))
+    return out
+
+
+def bench_kernel():
+    """Dispatch-bound kernel: the quickstart's own shape (d=10, nsf6,
+    4096 particles) — throughput here measures the tunnel + XLA dispatch
+    path, MFU ~2e-4 (VERDICT r4: the quickstart workload is
+    latency-bound, not MXU-bound)."""
+    return _bench_sweep(n_dim=10, flow_name="nsf6", n_active=4096,
+                        n_steps_fixed=16, k_chain=4, n_rep=7,
+                        metric="tpcn_particle_steps_per_sec_rosenbrock10_nsf6",
+                        baseline=343.0)  # reference CPU p-steps/s
+
+
+def bench_kernel_compute():
+    """Compute-bound kernel (VERDICT r4 #5): d=50 / nsf12 / 16384
+    particles — the NSF inverse runs 50 sequential MADE passes per
+    transform x 12 transforms per sweep step at batch 16384x256, which
+    is MXU work, so MFU here measures how well the flow stack feeds the
+    systolic array rather than tunnel RTT."""
+    return _bench_sweep(n_dim=50, flow_name="nsf12", n_active=16384,
+                        n_steps_fixed=4, k_chain=2, n_rep=5,
+                        metric="tpcn_particle_steps_per_sec_d50_nsf12_n16k")
 
 
 def main():
     import jax
     _enable_cache(jax)
     bench_quickstart()
+    bench_kernel_compute()
     bench_kernel()
 
 

@@ -16,28 +16,41 @@ from scipy.stats import multivariate_normal, norm
 import pocomc_tpu as pc
 
 
+# one row per completed run, for the multi-seed summary (seeds=... mode):
+# dict(name, seed, wall, calls, logz_err, smc_err, smcraw_err, khat)
+ROWS = []
+
+
 def run(name, prior, loglike, expect, seed=0, **kw):
     t0 = time.time()
     s = pc.Sampler(prior, loglike, vectorize=True, random_state=seed, **kw)
     s.run(n_total=4096, n_evidence=4096, progress=False)
     wall = time.time() - t0
     it = int(s.t) if hasattr(s, "t") else -1
-    # SMC persistent-sampling evidence: the recommended estimator when
-    # the flow-IS tail is heavy (k-hat warned) — no importance ratios.
-    # Reported WITH the retroactive per-rung residual re-correction
-    # (what run(n_evidence=0) returns); smcZraw is the uncorrected
-    # causal ladder for comparison.
+    # SMC persistent-sampling ladder: raw causal + retroactive per-rung
+    # re-correction, for comparison. bridgeZ is the flow-anchored bridge
+    # (pocomc_tpu/bridge.py) — what run(n_evidence=0) RETURNS since
+    # round 5 (the ladder columns stay for forensic continuity).
     smc_logz = float(s.particles.compute_logw_and_logz(
         1.0, recorrect=True)[1])
     smc_raw = float(s.particles.compute_logw_and_logz(1.0)[1])
+    br = s._compute_bridge_evidence()
+    br_logz = None if br is None else br["logz"]
     exp_s = "n/a" if expect is None else f"{expect:.3f}"
     err = "" if expect is None else f"  err {s.logz - expect:+.3f}"
     smc_err = "" if expect is None else f" (err {smc_logz - expect:+.3f})"
     smc_rerr = "" if expect is None else f" (err {smc_raw - expect:+.3f})"
+    if br_logz is None:
+        br_s = "  bridgeZ n/a"
+    else:
+        br_e = ("" if expect is None
+                else f" (err {br_logz - expect:+.3f},"
+                     f" {br['rungs']}r/{br['calls']}c)")
+        br_s = f"  bridgeZ {br_logz:.3f}{br_e}"
     print(f"{name}: wall {wall:.0f}s  iters {it}  calls {s.calls}  "
           f"logZ {s.logz:.3f} +- {s.logz_err:.3f}  khat {s.evidence_khat:.2f}"
           f"  smcZ {smc_logz:.3f}{smc_err}  smcZraw {smc_raw:.3f}{smc_rerr}"
-          f"  analytic {exp_s}{err}",
+          f"{br_s}  analytic {exp_s}{err}",
           flush=True)
     import os
     if os.environ.get("POCOMC_ITER_TABLE"):
@@ -53,6 +66,14 @@ def run(name, prior, loglike, expect, seed=0, **kw):
                   f"{d_.get('resid', 0.0):8.2f} "
                   f"{d_.get('nu', 0.0):7.0f} "
                   f"{d_.get('misfit', 0.0):6.2f}", flush=True)
+    ROWS.append(dict(
+        name=name.split()[0], seed=seed, wall=wall, calls=int(s.calls),
+        khat=float(s.evidence_khat),
+        logz_err=None if expect is None else float(s.logz - expect),
+        smc_err=None if expect is None else float(smc_logz - expect),
+        smcraw_err=None if expect is None else float(smc_raw - expect),
+        bridge_err=(None if (expect is None or br_logz is None)
+                    else float(br_logz - expect))))
     return s
 
 
@@ -207,5 +228,38 @@ if __name__ == "__main__":
                         kw[k] = v
         else:
             names.append(a)
-    for n in (names or list(ALL)):
-        ALL[n](**kw)
+    # multi-seed mode (VERDICT r4 #4): `seeds=0,1,2,3` runs every config
+    # at each seed and prints a median/IQR summary for the logZ errors
+    # AND the call counts — trajectory-chaotic quantities (the whole beta
+    # ladder re-randomizes per seed) must not be judged at one seed.
+    seeds = kw.pop("seeds", None)
+    if seeds is not None:
+        seed_list = [int(x) for x in str(seeds).split(",")]
+        for n in (names or list(ALL)):
+            for sd in seed_list:
+                ALL[n](seed=sd, **kw)
+        print("\n=== multi-seed summary (median [IQR] over seeds "
+              f"{seed_list}) ===")
+        print(f"{'config':14s} {'logz_err':>22s} {'smcZ_err':>22s} "
+              f"{'smcZraw_err':>22s} {'bridge_err':>22s} "
+              f"{'calls':>26s} {'wall_s':>14s}")
+        byname = {}
+        for r in ROWS:
+            byname.setdefault(r["name"], []).append(r)
+        def _mi(vals, fmt):
+            v = np.asarray([x for x in vals if x is not None], float)
+            if len(v) == 0:
+                return "n/a"
+            q1, q2, q3 = np.percentile(v, [25, 50, 75])
+            return f"{q2:{fmt}} [{q1:{fmt}},{q3:{fmt}}]"
+        for n, rows in byname.items():
+            print(f"{n:14s} {_mi([r['logz_err'] for r in rows], '+.3f'):>22s}"
+                  f" {_mi([r['smc_err'] for r in rows], '+.3f'):>22s}"
+                  f" {_mi([r['smcraw_err'] for r in rows], '+.3f'):>22s}"
+                  f" {_mi([r['bridge_err'] for r in rows], '+.3f'):>22s}"
+                  f" {_mi([r['calls'] for r in rows], '.0f'):>26s}"
+                  f" {_mi([r['wall'] for r in rows], '.1f'):>14s}",
+                  flush=True)
+    else:
+        for n in (names or list(ALL)):
+            ALL[n](**kw)

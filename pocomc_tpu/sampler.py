@@ -185,6 +185,9 @@ class Sampler:
                  evidence_refine: int = 2,
                  evidence_proposal: str = "auto",
                  evidence_nu: float = 5.0,
+                 evidence_bridge="auto",
+                 bridge_n: int = None,
+                 bridge_steps: int = None,
                  output_dir: str = None,
                  output_label: str = None,
                  random_state: int = None,
@@ -550,6 +553,33 @@ class Sampler:
         self.evidence_nu = float(evidence_nu)
         self.evidence_proposal_used = None
 
+        # Flow-anchored bridge evidence (bridge.py): the warped
+        # temperature path that replaces the raw-ladder read-out of
+        # run(n_evidence=0) when a trained flow exists. 'auto'/True run
+        # it whenever prerequisites hold (precondition + traceable
+        # likelihood+prior, single-host); False never.
+        if evidence_bridge not in ("auto", True, False):
+            raise ValueError(
+                f"Invalid evidence_bridge {evidence_bridge!r}. Options "
+                f"are 'auto', True or False.")
+        self.evidence_bridge = evidence_bridge
+        if bridge_n is None:
+            # power-of-two bucket (CLAUDE.md shape rule), >= the active
+            # population, capped at the flow-IS default draw size
+            bridge_n = min(4096, max(1024, 2 * self.n_active))
+            bridge_n = 1 << (bridge_n - 1).bit_length()
+        if int(bridge_n) < 2:
+            raise ValueError(
+                f"Invalid bridge_n {bridge_n!r}: must be an int >= 2.")
+        self.bridge_n = int(bridge_n)
+        if bridge_steps is None:
+            bridge_steps = 10
+        if int(bridge_steps) < 1:
+            raise ValueError(
+                f"Invalid bridge_steps {bridge_steps!r}: must be >= 1.")
+        self.bridge_steps = int(bridge_steps)
+        self.bridge_diagnostics = None
+
         if n_prior is None:
             self.n_prior = int(2 * max(self.n_effective // self.n_active, 1) * self.n_active)
         else:
@@ -598,6 +628,16 @@ class Sampler:
         self.profile_dir = None if profile_dir is None else str(profile_dir)
 
         self._build_device_fns()
+
+        # eager check for an EXPLICIT bridge request (the 'auto' default
+        # degrades silently to the recorrected ladder instead)
+        if self.evidence_bridge is True and (
+                not self.preconditioned or self._loglike_dev is None):
+            raise ValueError(
+                "evidence_bridge=True requires precondition=True and a "
+                "JAX-traceable likelihood (the bridge anneals in the "
+                "flow's latent space on device). Use evidence_bridge="
+                "'auto' to fall back to the ladder estimate instead.")
 
     # ------------------------------------------------------------------
     # device program construction
@@ -713,7 +753,9 @@ class Sampler:
 
         if like_traceable:
             loglike_dev = make_loglike_device(self._like_batch_fn, True, True)
+            self._loglike_dev = loglike_dev  # bridge evidence reuses it
         else:
+            self._loglike_dev = None
             loglike_dev = make_loglike_device(self._host_like_raw, True, False)
             if self.mesh is not None:
                 # multi-host/multi-chip black-box fan-out: each process's
@@ -1105,6 +1147,18 @@ class Sampler:
                 _, self.logz = self.particles.compute_logw_and_logz(
                     1.0, recorrect=True)
                 self.logz_err = None
+                # Flow-anchored bridge refinement (bridge.py): replace
+                # the ladder read-out with the warped-path estimate when
+                # prerequisites hold — a fresh annealed population from
+                # the trained flow carries neither the ladder's walker-
+                # memory rung bias nor its coverage debt (RESULTS.md
+                # round-5 "bridge evidence").
+                if self.evidence_bridge in ("auto", True):
+                    with self._trace("pocomc/bridge"):
+                        res = self._compute_bridge_evidence()
+                    if res is not None:
+                        self.logz = res["logz"]
+                        self.bridge_diagnostics = res
         finally:
             if self.profile_dir is not None:
                 jax.profiler.stop_trace()
@@ -2085,6 +2139,45 @@ class Sampler:
                 f"the posterior. Consider more flow training epochs, a larger "
                 f"flow, or a bigger n_effective.", RuntimeWarning)
 
+    def _compute_bridge_evidence(self):
+        """Flow-anchored bridge evidence (bridge.py): anneal a fresh
+        population from the trained flow to the posterior along the
+        latent-space geometric path and read logZ off that short
+        ladder. Returns the diagnostics dict (logz/rungs/calls/ess_min)
+        or None when prerequisites don't hold (no flow, black-box
+        likelihood, callback-less prior on a callback-less backend, or
+        a multi-process mesh)."""
+        if not self.preconditioned or self._loglike_dev is None:
+            if self.evidence_bridge is True:
+                raise ValueError(
+                    "evidence_bridge=True requires precondition=True and "
+                    "a JAX-traceable likelihood (the bridge anneals in "
+                    "the flow's latent space on device).")
+            return None
+        if not (getattr(self._logprior_dev, "_pocomc_traced", False)
+                or callbacks_supported()):
+            return None
+        if self.mesh is not None and self.mesh.multihost:
+            return None  # replicated-host contract not wired here yet
+        if not hasattr(self.flow, "kernel_inv"):
+            return None
+        from .bridge import make_bridge_programs, run_bridge
+        cache = self._prog_cache
+        key = ("BRIDGE", self.bridge_steps)
+        if key not in cache:
+            cache[key] = make_bridge_programs(
+                self.scaler, self._logprior_dev, self._loglike_dev,
+                self.n_dim, self.flow.kernel_inv,
+                n_steps=self.bridge_steps)
+        init, rung = cache[key]
+        res = run_bridge(init, rung, self.flow.params, self._scp(),
+                         self.bridge_n, self._seed32, fetch=self._fetch)
+        if res is not None:
+            self.calls += res["calls"]
+            if self.pbar is not None:
+                self.pbar.update_stats(dict(calls=self.calls))
+        return res
+
     def posterior(self, resample=False, return_blobs=False,
                   trim_importance_weights=True, return_logw=False,
                   ess_trim=0.99, bins_trim=1_000):
@@ -2141,7 +2234,8 @@ class Sampler:
                       "calib_z", "_corr_auto", "evidence_refine",
                       "evidence_proposal", "evidence_nu", "bias_budget",
                       "bias_rate", "_bias_rate_auto", "bias_floor",
-                      "_bias_floor_auto", "imh_every", "_imh_auto")
+                      "_bias_floor_auto", "imh_every", "_imh_auto",
+                      "evidence_bridge", "bridge_n", "bridge_steps")
 
     def state_dict(self):
         """Picklable snapshot: history, flow params, scaler/geometry
