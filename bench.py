@@ -274,14 +274,16 @@ def bench_kernel():
 
 
 def bench_kernel_compute():
-    """Compute-bound kernel (VERDICT r4 #5): d=50 / nsf12 / 16384
-    particles — the NSF inverse runs 50 sequential MADE passes per
-    transform x 12 transforms per sweep step at batch 16384x256, which
-    is MXU work, so MFU here measures how well the flow stack feeds the
-    systolic array rather than tunnel RTT."""
-    return _bench_sweep(n_dim=50, flow_name="nsf12", n_active=16384,
+    """Compute-bound kernel (VERDICT r4 #5): d=50 / nsfc12 coupling flow
+    / 65536 particles. The MADE-autoregressive inverse is 600 SEQUENTIAL
+    small matmuls per sweep step (measured MFU 2.2e-4 at d50/nsf12/16k —
+    latency-bound by construction); the coupling variant inverts in ONE
+    pass per transform, so 12 large batched matmul stacks per step is
+    what actually feeds the MXU and MFU here measures systolic-array
+    utilization rather than dependency-chain latency."""
+    return _bench_sweep(n_dim=50, flow_name="nsfc12", n_active=65536,
                         n_steps_fixed=4, k_chain=2, n_rep=5,
-                        metric="tpcn_particle_steps_per_sec_d50_nsf12_n16k")
+                        metric="tpcn_particle_steps_per_sec_d50_nsfc12_n64k")
 
 
 def main():
