@@ -55,9 +55,11 @@ def run(name, prior, loglike, expect, seed=0, **kw):
     import os
     if os.environ.get("POCOMC_ITER_TABLE"):
         print("  t    beta  steps sigma   acc  corr   hot z_logl z_dim "
-              "resid      nu misfit")
+              "resid      nu misfit   ep   loss")
         for d_ in s._dev_iter_stats:
             c = d_.get("corr")
+            tl = d_.get("train_loss")
+            te = d_.get("train_epochs")
             print(f"  {d_['iter']:3d} {d_['beta']:.4f} {d_['steps']:4d} "
                   f"{d_.get('sigma', 0.0):5.2f} {d_['accept']:5.2f} "
                   f"{c if c is None else round(c, 3)} "
@@ -65,7 +67,9 @@ def run(name, prior, loglike, expect, seed=0, **kw):
                   f"{d_.get('z_dim', 0.0):5.1f} "
                   f"{d_.get('resid', 0.0):8.2f} "
                   f"{d_.get('nu', 0.0):7.0f} "
-                  f"{d_.get('misfit', 0.0):6.2f}", flush=True)
+                  f"{d_.get('misfit', 0.0):6.2f} "
+                  f"{'-' if te is None else te:>4} "
+                  f"{'-' if tl is None else round(tl, 1):>7}", flush=True)
     ROWS.append(dict(
         name=name.split()[0], seed=seed, wall=wall, calls=int(s.calls),
         khat=float(s.evidence_khat),

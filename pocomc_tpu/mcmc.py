@@ -534,8 +534,12 @@ def make_sweep(
             log_ratio = log_ratio + (prop["logdetj_flow"] - st.logdetj_flow)
         if kind == "tpcn":
             half = 0.5 * (n_dim + nu)
-            A = -half * jnp.log1p(prop["qp"] / nu)
-            B = -half * jnp.log1p(prop["q"] / nu)
+            # log1p(q/nu) written as log(nu+q) - log(nu): the division
+            # form overflows f32 when a blown-up quadform meets a small
+            # nu (q/nu > 3e38 -> inf -> NaN ratios; cosmo30 seed-1
+            # collapse, RESULTS.md round 5)
+            A = -half * (jnp.log(nu + prop["qp"]) - jnp.log(nu))
+            B = -half * (jnp.log(nu + prop["q"]) - jnp.log(nu))
             if imh_every > 0:
                 # independence-refresh steps carry the N(0,I) proposal
                 # correction instead of the t-pCN reversibility terms

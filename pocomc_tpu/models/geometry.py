@@ -90,6 +90,15 @@ def _fit_geometry_impl(theta, weights, key):
         pts = theta[idx]
         t_mean, t_cov, t_nu = fit_mvstud(pts)
     t_nu = jnp.where(jnp.isfinite(t_nu), t_nu, 1e6)
+    # Lower clamp at the Cauchy (nu=1): the EM can legitimately drive
+    # nu -> 1e-3 on a degenerate population (duplicate spike + a few
+    # blown-up outliers — measured: cosmo30 seed 1, RESULTS.md round 5
+    # "cosmo30 seed-1 collapse"), and a sub-Cauchy proposal makes the
+    # t-pCN correction terms near-singular (log1p(q/nu) with q/nu
+    # overflowing f32 -> inf -> NaN accept ratios -> frozen kernel).
+    # nu=1 is the heaviest-tailed proposal the kernel ever needs; the
+    # clamp changes nothing on healthy fits (observed nu >= ~200).
+    t_nu = jnp.maximum(t_nu, 1.0)
     # Ledoit-Wolf shrinkage of both proposal covariances (see _lw_lambda).
     # The t intensity is computed on the EM-WEIGHTED residuals: the EM
     # scale is Sigma = (1/n) sum_k w_k xc_k xc_k^T with

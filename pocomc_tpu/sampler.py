@@ -1446,13 +1446,16 @@ class Sampler:
                 # buffer per iteration instead of two — each buffer
                 # costs a round-trip share on the tunnel). Stats vectors
                 # are replicated jit outputs, so this works multi-host.
-                stats = jax.device_get([p["stats"] for p in batch])
+                stats = jax.device_get(
+                    [(p["stats"], p["tstats"]) for p in batch])
             except Exception:
                 # a backend/sharding combination where the outputs came
                 # back non-replicated: per-array all-gather fallback
-                stats = [self._fetch(p["stats"]) for p in batch]
+                stats = [(self._fetch(p["stats"]),
+                          None if p["tstats"] is None
+                          else self._fetch(p["tstats"])) for p in batch]
             nA = fused.STATS_A_LEN
-            for p, packed in zip(batch, stats):
+            for p, (packed, tstats) in zip(batch, stats):
                 statsA, statsC = packed[:nA], packed[nA:]
                 if statsC[6] > 0.5:
                     # device-side termination guard fired: the iteration
@@ -1486,6 +1489,13 @@ class Sampler:
                     misfit=float(statsC[13]) if len(statsC) > 13 else 0.0,
                     resid_exit=(float(statsC[14])
                                 if len(statsC) > 14 else 0.0),
+                    # flow-fit observability (round-5 cosmo30 seed-1
+                    # forensics): epochs run + best validation loss of
+                    # the iteration's fit, None when no fit ran
+                    train_epochs=(None if tstats is None
+                                  else int(tstats[0])),
+                    train_loss=(None if tstats is None
+                                else float(tstats[1])),
                     sigma=self.proposal_scale))
                 self.pbar.update_stats(dict(
                     beta=beta_h, calls=self.calls, ESS=int(ess_h),
@@ -1533,6 +1543,7 @@ class Sampler:
                                  jnp.float32(self.n_total),
                                  self._resid_dev)
                 self._neff_dev = outA["stats"][3]
+                _tstats = None   # [n_done, best_loss] when a fit ran
                 if train_now:
                     with self._trace("pocomc/train"):
                         params, geom, _tstats = progB(
@@ -1561,7 +1572,7 @@ class Sampler:
                 # 57.3k vs 59.9k).
                 self._resid_dev = packed[fused.STATS_A_LEN + 8]
                 self._slot_count += 1
-                pending.append(dict(stats=packed, t=self.t,
+                pending.append(dict(stats=packed, tstats=_tstats, t=self.t,
                                     n_select=n_select, t_start=_t_iter))
 
             if pending and terminated:
