@@ -469,6 +469,19 @@ def make_sweep(
                 # t-pCN move. Both proposal laws are computed and selected
                 # by `where` — under jit the step index is traced, and the
                 # extra base draw is noise next to the likelihood.
+                # Round-5 campaign outcome (RESULTS.md "imh_every
+                # calibration"): refresh steps SUBSTITUTE for local
+                # mutation inside the same stopping budget — a pure win
+                # on near-Gaussian targets (gauss50 cadence 4: equal
+                # raw-ladder error at 0.71x calls) and a real accuracy
+                # loss on coverage-hard ones (funnel25: bridge -0.20 ->
+                # -0.68 — refreshes are rejected in the neck while the
+                # local steps they displaced go missing). A misfit<1
+                # gate was measured and rejected: it blocks the gauss50
+                # win (misfit sits at 1-2 there) without restoring the
+                # funnel. Hence the cadence ships default-OFF and
+                # explicit imh_every is the documented opt-in for
+                # well-preconditioned targets.
                 k_norm2 = jax.random.fold_in(k_norm, 1)
                 v_imh = jax.random.normal(k_norm2, (n, n_dim),
                                           dtype=cur.dtype)

@@ -740,8 +740,14 @@ class Sampler:
             self.bias_floor = (self._bias_floor_value(self.n_evidence)
                                if self.bias_rate > 0.0 else 0.0)
         if getattr(self, "_imh_auto", False):
-            # auto cadence: off until the measurement campaign pins a
-            # default (explicit values win; see the __init__ rationale)
+            # auto cadence: OFF by measurement (round-5 campaign,
+            # RESULTS.md "imh_every calibration"): cadence 4 trades
+            # equally on gauss50 (0.71x calls, same error) but costs
+            # real accuracy on coverage-hard geometries (funnel25
+            # bridge -0.20 -> -0.68), and no cheap statistic separates
+            # the two regimes (a misfit<1 gate was measured and
+            # rejected). Explicit imh_every=2..4 is the documented
+            # opt-in for well-preconditioned targets.
             self.imh_every = 0
 
         if self.sample in ("mala", "hmc") and not like_traceable:
