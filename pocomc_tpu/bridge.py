@@ -173,6 +173,19 @@ def _logmeanexp(lw: np.ndarray) -> float:
     return float(m + np.log(np.exp(lw[ok] - m).sum()) - np.log(len(lw)))
 
 
+def _boot_var(lw: np.ndarray, rng: np.random.Generator,
+              n_boot: int = 200) -> float:
+    """Bootstrap variance of _logmeanexp over particles (host f64)."""
+    n = len(lw)
+    w = np.exp(np.where(np.isfinite(lw), lw - np.nanmax(
+        np.where(np.isfinite(lw), lw, -np.inf)), -np.inf))
+    w = np.where(np.isfinite(w), w, 0.0)
+    idx = rng.integers(0, n, size=(n_boot, n))
+    means = w[idx].mean(axis=1)
+    vals = np.log(np.maximum(means, 1e-300))
+    return float(np.var(vals))
+
+
 def run_bridge(init, rung, flow_params, scaler_params, n: int,
                seed_fn, fetch=jax.device_get, ess_target: float = 0.5,
                max_rungs: int = 64, sigma0: float = 0.9):
@@ -184,8 +197,11 @@ def run_bridge(init, rung, flow_params, scaler_params, n: int,
     Two transfers per rung (f down, rung up) — ~10 rungs on a good
     flow, so tunnel RTT stays negligible next to the sweeps.
 
-    Returns dict(logz, rungs, calls, ess_min, accept_last, s_path) or
-    None when the population is degenerate (no finite f at s=0).
+    Returns dict(logz, logz_err, rungs, calls, ess_min, accept_last,
+    s_path) or None when the population is degenerate (no finite f at
+    s=0). logz_err is the per-particle bootstrap error accumulated over
+    rungs (rungs treated independent — conservative given the mutation
+    steps between them).
     """
     theta, f, n_ev = init(flow_params, scaler_params, seed_fn(), n=n)
     calls = int(fetch(n_ev))
@@ -193,8 +209,9 @@ def run_bridge(init, rung, flow_params, scaler_params, n: int,
     if not np.isfinite(f_host).any():
         return None
 
+    boot_rng = np.random.default_rng(int(seed_fn()))
     sigma = jnp.asarray(sigma0, jnp.float32)
-    s, logz = 0.0, 0.0
+    s, logz, var = 0.0, 0.0, 0.0
     s_path, ess_min, acc = [], 1.0, float("nan")
     for _ in range(max_rungs):
         # bisection on ds: ESS fraction of exp(ds*f) decreases in ds
@@ -212,6 +229,7 @@ def run_bridge(init, rung, flow_params, scaler_params, n: int,
             ds = max(lo, 1e-6 * (1.0 - s))
         ess_min = min(ess_min, _ess_frac(ds * f_host))
         logz += _logmeanexp(ds * f_host)
+        var += _boot_var(ds * f_host, boot_rng)
         s = min(s + ds, 1.0)
         s_path.append(s)
         if s >= 1.0:
@@ -225,6 +243,7 @@ def run_bridge(init, rung, flow_params, scaler_params, n: int,
         acc = float(fetch(a_mean))
     else:
         return None  # never reached s=1 within max_rungs
-    return dict(logz=float(logz), rungs=len(s_path), calls=calls,
+    return dict(logz=float(logz), logz_err=float(np.sqrt(var)),
+                rungs=len(s_path), calls=calls,
                 ess_min=float(ess_min), accept_last=acc,
                 s_path=np.asarray(s_path))

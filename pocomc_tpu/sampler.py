@@ -1164,6 +1164,10 @@ class Sampler:
                         res = self._compute_bridge_evidence()
                     if res is not None:
                         self.logz = res["logz"]
+                        # per-rung bootstrap error (sampling noise only,
+                        # like the flow-IS bar — neither captures flow-
+                        # coverage bias)
+                        self.logz_err = res.get("logz_err")
                         self.bridge_diagnostics = res
         finally:
             if self.profile_dir is not None:
@@ -1959,11 +1963,14 @@ class Sampler:
     # ------------------------------------------------------------------
 
     def evidence(self):
-        """(logz, logz_err). logz_err is None when the flow-IS evidence
-        was not drawn (run(n_evidence=0) / precondition=False): there
-        logz is the SMC persistent-sampling estimate, which has no
-        bootstrap error bar — reference behavior (sampler.py:863-867,
-        logz_err stays unset outside _compute_evidence)."""
+        """(logz, logz_err). With n_evidence>0 this is the flow-IS
+        estimate + bootstrap error. With n_evidence=0 and the bridge
+        active (evidence_bridge, the default when preconditioned +
+        traceable) it is the flow-anchored bridge estimate + its
+        per-rung bootstrap error. logz_err is None only on the raw
+        ladder fallback (evidence_bridge=False / black-box likelihood /
+        precondition=False) — reference behavior there (sampler.py:
+        863-867, logz_err unset outside _compute_evidence)."""
         return self.logz, self.logz_err
 
     def _resolve_evidence_proposal(self):
