@@ -424,6 +424,16 @@ class Sampler:
 
         # Flow + training schedule
         self.flow = Flow(self.n_dim, flow) if isinstance(flow, str) else flow
+        # Train batch ceiling 1024 vs the reference's min(n_eff//2, 512):
+        # measured BOTH ways (ADVICE r4 item; .round5/batch_ab.py +
+        # 8-seed funnel A/B, RESULTS.md round 5). gauss50 marginally
+        # prefers 512 (khat 0.12-0.29 vs 0.17-0.44, ~3% fewer calls,
+        # equal wall); funnel25 clearly prefers 1024 (flow-IS median
+        # err -0.50 vs -1.00 over 8 seeds — the extra optimizer steps
+        # at 512 overfit the bulk and under-cover the neck). 1024 keeps
+        # the coverage-critical configs accurate; the runtime clamps
+        # (sampler fit paths + flow.fit) bound it on small training
+        # sets.
         self.train_config = dict(validation_split=0.5,
                                  epochs=5000,
                                  batch_size=1024,
@@ -2360,6 +2370,7 @@ class Sampler:
     # prior must themselves be picklable.
     _UNPICKLABLE = ("_sweep_plain", "_sweep_precond", "_scaler_forward",
                     "_scaler_inverse", "_loglike_host_jit", "_logprior_dev",
+                    "_loglike_dev",
                     "_logprior_host", "_like_batch_fn", "pool", "distribute",
                     "pbar", "flow", "scaler", "mesh", "_key", "_rng",
                     "u_geometry", "theta_geometry",
