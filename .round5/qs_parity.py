@@ -19,8 +19,7 @@ def one(seed, **kw):
     s.run(progress=False)
     return s.logz, s.calls
 
-for kw in ({"plateau_z": 1.0}, {"plateau_z": 1.25}, {"plateau_z": 1.5},
-           {"plateau_z": 1.25, "plateau_floor": 3.0}):
+for kw in ({"plateau_z": 1.5}, {"plateau_z": 2.0}, {"plateau_z": 2.5}):
     one(0, **kw)  # warm
     rows = [one(seed, **kw) for seed in (1, 2, 3, 4, 5)]
     logzs, calls = zip(*rows)
