@@ -155,6 +155,126 @@ def make_bridge_programs(scaler, log_prior, log_like, n_dim, flow_inv,
     return init, rung
 
 
+def make_bridge_host_program(scaler, log_prior, n_dim, flow_inv):
+    """Device half of the BLACK-BOX bridge: theta -> (x_safe, f_partial,
+    finite) where f_partial = logp + ldj_scaler + ldj_flow - logN(theta)
+    — everything except the host likelihood. One jitted call per host
+    step; the likelihood runs in the user's Python between calls (same
+    split as the sampler's stepped sweep driver)."""
+
+    @jax.jit
+    @f32_precision
+    def to_x(flow_params, scaler_params, theta):
+        u, ldjf = flow_inv(flow_params, theta)
+        x, ldj = scaler.inverse(u, params=scaler_params)
+        if scaler.has_boundary:
+            x = scaler.apply_boundary_conditions_x(x)
+            u2 = scaler.forward(x, check_input=False, params=scaler_params)
+            x, ldj = scaler.inverse(u2, params=scaler_params)
+        finite = (jnp.isfinite(ldjf) & jnp.isfinite(ldj)
+                  & jnp.all(jnp.isfinite(x), axis=1))
+        x_safe = jnp.where(finite[:, None], x, 0.0)
+        logp = jnp.where(finite, log_prior(x_safe), -jnp.inf)
+        finite = finite & jnp.isfinite(logp)
+        log_n = (-0.5 * jnp.sum(theta**2, axis=-1)
+                 - 0.5 * n_dim * math.log(2.0 * math.pi))
+        f_part = jnp.where(finite, logp + ldj + ldjf - log_n, -jnp.inf)
+        return x_safe, f_part, finite
+
+    return to_x
+
+
+def run_bridge_host(to_x, log_like_host, flow_params, scaler_params,
+                    n: int, n_dim: int, rng: np.random.Generator,
+                    fetch=jax.device_get, n_steps: int = 10,
+                    ess_target: float = 0.5, max_rungs: int = 64,
+                    sigma0: float = 0.9, accept_target: float = 0.234):
+    """Host-orchestrated bridge for black-box likelihoods: mutation
+    loop in numpy, flow/scaler pullbacks via `to_x` (one device call
+    per step), likelihood via `log_like_host(x) -> logl`. Same
+    estimator as run_bridge; same return contract."""
+
+    def f_eval(theta):
+        out = to_x(flow_params, scaler_params,
+                   jnp.asarray(theta, jnp.float32))
+        x = np.asarray(fetch(out[0]), dtype=np.float64)
+        f_part = np.asarray(fetch(out[1]), dtype=np.float64)
+        finite = np.asarray(fetch(out[2])).astype(bool)
+        logl = np.full(n, -np.inf)
+        if finite.any():
+            logl[finite] = np.asarray(
+                log_like_host(x[finite]), dtype=np.float64)
+        f = np.where(finite & np.isfinite(logl), f_part + logl, -np.inf)
+        return f, int(finite.sum())
+
+    sig_loc = min(2.38 / math.sqrt(n_dim), 0.99)
+    theta = rng.standard_normal((n, n_dim))
+    f, calls = f_eval(theta)
+    if not np.isfinite(f).any():
+        return None
+
+    sigma = sigma0
+    s, logz, var = 0.0, 0.0, 0.0
+    s_path, ess_min, acc = [], 1.0, float("nan")
+    for _ in range(max_rungs):
+        hi = 1.0 - s
+        if _ess_frac(hi * f) >= ess_target:
+            ds = hi
+        else:
+            lo = 0.0
+            for _ in range(40):
+                mid = 0.5 * (lo + hi)
+                if _ess_frac(mid * f) >= ess_target:
+                    lo = mid
+                else:
+                    hi = mid
+            ds = max(lo, 1e-6 * (1.0 - s))
+        ess_min = min(ess_min, _ess_frac(ds * f))
+        logz += _logmeanexp(ds * f)
+        var += _boot_var(ds * f, rng)
+        s = min(s + ds, 1.0)
+        s_path.append(s)
+        if s >= 1.0:
+            break
+        # systematic resample by exp(ds*f)
+        lw = ds * f
+        w = np.exp(lw - np.max(lw[np.isfinite(lw)]))
+        w = np.where(np.isfinite(w), w, 0.0)
+        w = w / w.sum()
+        pos = (rng.random() + np.arange(n)) / n
+        idx = np.searchsorted(np.cumsum(w), pos, side="right")
+        idx = np.clip(idx, 0, n - 1)
+        theta, f = theta[idx], f[idx]
+        # K latent t-pCN steps at temperature s (numpy mirror of the
+        # device rung, incl. the misfit-adaptive sigma cap)
+        for i in range(n_steps):
+            z = rng.standard_normal((n, n_dim))
+            th_p = math.sqrt(1.0 - sigma**2) * theta + sigma * z
+            f_p, n_ev = f_eval(th_p)
+            calls += n_ev
+            with np.errstate(over="ignore", invalid="ignore"):
+                alpha = np.minimum(1.0, np.exp(s * (f_p - f)))
+            alpha = np.where(np.isnan(alpha), 0.0, alpha)
+            accept = rng.random(n) < alpha
+            theta = np.where(accept[:, None], th_p, theta)
+            f = np.where(accept, f_p, f)
+            a_mean = float(alpha.mean())
+            ok = np.isfinite(f)
+            misfit = s * float(np.std(f[ok])) if ok.any() else 0.0
+            cap = sig_loc + (0.99 - sig_loc) * math.exp(
+                -0.5 * misfit**2)
+            sigma = float(np.clip(
+                sigma + (a_mean - accept_target) / (i + 1) ** 0.75,
+                1e-3, cap))
+            acc = a_mean
+    else:
+        return None
+    return dict(logz=float(logz), logz_err=float(np.sqrt(var)),
+                rungs=len(s_path), calls=calls,
+                ess_min=float(ess_min), accept_last=acc,
+                s_path=np.asarray(s_path))
+
+
 def _ess_frac(lw: np.ndarray) -> float:
     """ESS/n of weights exp(lw) over ALL n rows (-inf rows count in n)."""
     ok = np.isfinite(lw)

@@ -641,13 +641,12 @@ class Sampler:
 
         # eager check for an EXPLICIT bridge request (the 'auto' default
         # degrades silently to the recorrected ladder instead)
-        if self.evidence_bridge is True and (
-                not self.preconditioned or self._loglike_dev is None):
+        if self.evidence_bridge is True and not self.preconditioned:
             raise ValueError(
-                "evidence_bridge=True requires precondition=True and a "
-                "JAX-traceable likelihood (the bridge anneals in the "
-                "flow's latent space on device). Use evidence_bridge="
-                "'auto' to fall back to the ladder estimate instead.")
+                "evidence_bridge=True requires precondition=True (the "
+                "bridge anneals in the flow's latent space). Use "
+                "evidence_bridge='auto' to fall back to the ladder "
+                "estimate instead.")
 
     # ------------------------------------------------------------------
     # device program construction
@@ -2178,15 +2177,15 @@ class Sampler:
         population from the trained flow to the posterior along the
         latent-space geometric path and read logZ off that short
         ladder. Returns the diagnostics dict (logz/rungs/calls/ess_min)
-        or None when prerequisites don't hold (no flow, black-box
-        likelihood, callback-less prior on a callback-less backend, or
-        a multi-process mesh)."""
-        if not self.preconditioned or self._loglike_dev is None:
+        or None when prerequisites don't hold (no flow, callback-less
+        prior on a callback-less backend, or a multi-process mesh).
+        Black-box likelihoods run the host-driven variant (device
+        pullbacks + Python likelihood between steps)."""
+        if not self.preconditioned:
             if self.evidence_bridge is True:
                 raise ValueError(
-                    "evidence_bridge=True requires precondition=True and "
-                    "a JAX-traceable likelihood (the bridge anneals in "
-                    "the flow's latent space on device).")
+                    "evidence_bridge=True requires precondition=True "
+                    "(the bridge anneals in the flow's latent space).")
             return None
         if not (getattr(self._logprior_dev, "_pocomc_traced", False)
                 or callbacks_supported()):
@@ -2195,17 +2194,35 @@ class Sampler:
             return None  # replicated-host contract not wired here yet
         if not hasattr(self.flow, "kernel_inv"):
             return None
-        from .bridge import make_bridge_programs, run_bridge
+        from .bridge import (make_bridge_programs, run_bridge,
+                             make_bridge_host_program, run_bridge_host)
         cache = self._prog_cache
-        key = ("BRIDGE", self.bridge_steps)
-        if key not in cache:
-            cache[key] = make_bridge_programs(
-                self.scaler, self._logprior_dev, self._loglike_dev,
-                self.n_dim, self.flow.kernel_inv,
+        if self._loglike_dev is not None:
+            key = ("BRIDGE", self.bridge_steps)
+            if key not in cache:
+                cache[key] = make_bridge_programs(
+                    self.scaler, self._logprior_dev, self._loglike_dev,
+                    self.n_dim, self.flow.kernel_inv,
+                    n_steps=self.bridge_steps)
+            init, rung = cache[key]
+            res = run_bridge(init, rung, self.flow.params, self._scp(),
+                             self.bridge_n, self._seed32,
+                             fetch=self._fetch)
+        else:
+            # BLACK-BOX path: flow/scaler pullback on device, user
+            # likelihood on host between steps (same split as the
+            # stepped sweep driver; reference users with plain-numpy
+            # likelihoods get the bridge too)
+            key = "BRIDGE_HOST"
+            if key not in cache:
+                cache[key] = make_bridge_host_program(
+                    self.scaler, self._logprior_dev, self.n_dim,
+                    self.flow.kernel_inv)
+            res = run_bridge_host(
+                cache[key], lambda x: self._log_like(x)[0],
+                self.flow.params, self._scp(), self.bridge_n,
+                self.n_dim, self._rng, fetch=self._fetch,
                 n_steps=self.bridge_steps)
-        init, rung = cache[key]
-        res = run_bridge(init, rung, self.flow.params, self._scp(),
-                         self.bridge_n, self._seed32, fetch=self._fetch)
         if res is not None:
             self.calls += res["calls"]
             if self.pbar is not None:

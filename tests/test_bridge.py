@@ -66,23 +66,29 @@ def test_bridge_validation():
                    evidence_bridge=True)
 
 
-def test_bridge_skipped_for_blackbox():
-    """auto mode degrades silently to the ladder for a non-traceable
-    likelihood (numpy fn): logz stays finite, no diagnostics."""
+def test_bridge_blackbox_host_path():
+    """Non-traceable (plain-numpy) likelihoods get the bridge too, via
+    the host-driven variant (device pullbacks + Python likelihood
+    between steps): known-answer Gaussian, diagnostics populated."""
+    from scipy.stats import norm
     d = 2
 
     def loglike(x):
         x = np.asarray(x)
         return -0.5 * np.sum(x**2, axis=-1) - d / 2 * np.log(2 * np.pi)
 
+    expect = d * norm.logpdf(0, 0, np.sqrt(26.0))
     prior = pc.Prior([pc.Normal(0, 5) for _ in range(d)])
     s = pc.Sampler(prior, loglike, vectorize=True, random_state=0,
                    n_effective=256, n_active=128, flow="nsf3",
+                   bridge_n=512,
                    train_config={"epochs": 30, "patience": 5})
     assert not s.likelihood_traceable
     s.run(n_total=512, n_evidence=0, progress=False)
-    assert s.bridge_diagnostics is None
-    assert np.isfinite(s.logz)
+    assert s.bridge_diagnostics is not None
+    assert s.bridge_diagnostics["rungs"] >= 1
+    assert s.logz == pytest.approx(expect, abs=0.4)
+    assert s.logz_err is not None and 0 < s.logz_err < 0.5
 
 
 def test_bridge_counts_calls():
