@@ -217,6 +217,8 @@ def run_bridge_host(to_x, log_like_host, flow_params, scaler_params,
     s, logz, var = 0.0, 0.0, 0.0
     s_path, ess_min, acc = [], 1.0, float("nan")
     for _ in range(max_rungs):
+        if not np.isfinite(f).any():
+            return None  # mid-ladder degeneracy: fall back to the ladder
         hi = 1.0 - s
         if _ess_frac(hi * f) >= ess_target:
             ds = hi
@@ -334,6 +336,8 @@ def run_bridge(init, rung, flow_params, scaler_params, n: int,
     s, logz, var = 0.0, 0.0, 0.0
     s_path, ess_min, acc = [], 1.0, float("nan")
     for _ in range(max_rungs):
+        if not np.isfinite(f_host).any():
+            return None  # mid-ladder degeneracy: fall back to the ladder
         # bisection on ds: ESS fraction of exp(ds*f) decreases in ds
         hi = 1.0 - s
         if _ess_frac(hi * f_host) >= ess_target:
