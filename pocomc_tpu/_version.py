@@ -1,2 +1,2 @@
-version = "0.3.0"
+version = "0.5.0"
 __version__ = version
